@@ -1,0 +1,179 @@
+"""Noise-level estimation.
+
+TPU-native equivalents of the reference estimators:
+  * ``noise_psd``  — Welch-PSD high-band noise sigma
+    (reference: ``OASIS_matlab/functions/GetSn.m:33-45``; MATLAB ``pwelch``
+    defaults = hamming window, 8 segments, 50% overlap).
+  * ``noise_hist`` / ``estimate_baseline_noise`` — histogram + Gaussian fit
+    (reference: ``OASIS_matlab/functions/estimate_baseline_noise.m:20-36``).
+  * ``noise_std`` — simple std fallback.
+
+All estimators are written batched: input is ``(..., T)`` and the estimate is
+computed along the last axis with static shapes, so they vmap/shard trivially
+over pixels or neurons (the reference loops per trace in MATLAB).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _hamming(n: int) -> np.ndarray:
+    # MATLAB 'hamming' periodic=false (symmetric) window
+    if n == 1:
+        return np.ones(1)
+    k = np.arange(n)
+    return 0.54 - 0.46 * np.cos(2.0 * np.pi * k / (n - 1))
+
+
+def welch_psd(y: jnp.ndarray, nseg: int = 8) -> Tuple[jnp.ndarray, np.ndarray]:
+    """One-sided Welch PSD along the last axis with MATLAB pwelch defaults.
+
+    Segment length = floor(T / 4.5) (8 segments, 50% overlap), hamming window,
+    fs = 1. Returns ``(psd, freqs)`` where ``psd`` has shape
+    ``(..., nfft//2 + 1)`` and ``freqs`` is a host-side numpy array in cycles
+    per sample (0 .. 0.5).
+    """
+    T = y.shape[-1]
+    seg = max(int(T // 4.5), 16)
+    seg = min(seg, T)
+    step = max(seg // 2, 1)
+    n_windows = max((T - seg) // step + 1, 1)
+    win = jnp.asarray(_hamming(seg), dtype=y.dtype)
+    scale = 1.0 / float(np.sum(_hamming(seg) ** 2))
+
+    starts = np.arange(n_windows) * step
+    # frame the signal: (..., n_windows, seg) — static gather
+    idx = starts[:, None] + np.arange(seg)[None, :]
+    frames = y[..., idx] * win
+    spec = jnp.fft.rfft(frames, axis=-1)
+    psd = (jnp.abs(spec) ** 2) * scale
+    # one-sided correction: double everything except DC (and Nyquist if even)
+    nfreq = psd.shape[-1]
+    mult = np.full(nfreq, 2.0)
+    mult[0] = 1.0
+    if seg % 2 == 0:
+        mult[-1] = 1.0
+    psd = psd * jnp.asarray(mult, dtype=y.dtype)
+    psd = jnp.mean(psd, axis=-2)
+    freqs = np.fft.rfftfreq(seg, d=1.0)
+    return psd, freqs
+
+
+def noise_psd(y: jnp.ndarray, freq_range=(0.25, 0.5), method: str = "logmexp") -> jnp.ndarray:
+    """Noise sigma from the average high-frequency PSD (GetSn.m semantics).
+
+    ``method`` in {"mean", "median", "logmexp"}; operates on the last axis,
+    returns shape ``y.shape[:-1]``.
+    """
+    psd, freqs = welch_psd(y)
+    band = (freqs >= freq_range[0]) & (freqs <= freq_range[1])
+    sel = psd[..., jnp.asarray(np.nonzero(band)[0])] / 2.0
+    if method == "mean":
+        return jnp.sqrt(jnp.mean(sel, axis=-1))
+    if method == "median":
+        return jnp.sqrt(jnp.median(sel, axis=-1))
+    # logmexp (default): geometric mean, robust to signal leakage
+    return jnp.sqrt(jnp.exp(jnp.mean(jnp.log(sel + 1e-30), axis=-1)))
+
+
+def noise_std(y: jnp.ndarray) -> jnp.ndarray:
+    """First-difference robust sigma: std(diff(y)) / sqrt(2)."""
+    d = jnp.diff(y, axis=-1)
+    return jnp.std(d, axis=-1) / jnp.sqrt(2.0).astype(y.dtype)
+
+
+def estimate_baseline_noise(y: jnp.ndarray, n_bins: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Histogram-mode baseline and Gaussian noise sigma, batched over ``(...)``.
+
+    TPU-native re-design of ``estimate_baseline_noise.m`` + ``fit_gauss1.m``:
+    build a fixed-size histogram over [q0, q1] per trace, then fit a Gaussian
+    to the bins around the mode by weighted least squares on log-counts (a
+    log-parabola fit) instead of MATLAB's iterative ``fit_gauss1``. Returns
+    ``(baseline, sigma)``.
+    """
+    T = y.shape[-1]
+    lo = jnp.quantile(y, 0.001, axis=-1, keepdims=True)
+    hi = jnp.quantile(y, 0.999, axis=-1, keepdims=True)
+    span = jnp.maximum(hi - lo, 1e-12)
+    # soft histogram with static bin count
+    edges01 = (y - lo) / span  # in [0,1]
+    bin_idx = jnp.clip((edges01 * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    one = jnp.ones_like(y)
+    counts = jnp.zeros(y.shape[:-1] + (n_bins,), dtype=y.dtype)
+    counts = _scatter_add_last(counts, bin_idx, one)
+
+    centers01 = (jnp.arange(n_bins, dtype=y.dtype) + 0.5) / n_bins
+    centers = lo + centers01 * span  # (..., n_bins)
+
+    mode_idx = jnp.argmax(counts, axis=-1)
+    mode_center = jnp.take_along_axis(centers, mode_idx[..., None], axis=-1)
+
+    # weight bins near & below the mode (baseline sits under the signal)
+    peak = jnp.take_along_axis(counts, mode_idx[..., None], axis=-1)
+    w = jnp.where(counts > 0.05 * peak, counts, 0.0)
+    # restrict to a window around the mode: +-25% of the span
+    win = jnp.abs(centers - mode_center) < 0.25 * span
+    w = jnp.where(win, w, 0.0)
+
+    # weighted parabola fit of log(counts) ~ a*x^2 + b*x + c, x = centers
+    x = centers - mode_center
+    logc = jnp.log(jnp.maximum(counts, 0.5))
+    sw = jnp.sum(w, axis=-1)
+    m = lambda p: jnp.sum(w * p, axis=-1) / jnp.maximum(sw, 1e-12)
+    x1, x2, x3, x4 = m(x), m(x * x), m(x**3), m(x**4)
+    yx0, yx1, yx2 = m(logc), m(logc * x), m(logc * x * x)
+    # solve 3x3 normal equations for [a, b, c] (a = quadratic coeff)
+    A = jnp.stack([
+        jnp.stack([x4, x3, x2], axis=-1),
+        jnp.stack([x3, x2, x1], axis=-1),
+        jnp.stack([x2, x1, jnp.ones_like(x1)], axis=-1),
+    ], axis=-2)
+    rhs = jnp.stack([yx2, yx1, yx0], axis=-1)
+    sol = jnp.linalg.solve(A + 1e-9 * jnp.eye(3, dtype=y.dtype), rhs[..., None])[..., 0]
+    a, b = sol[..., 0], sol[..., 1]
+    a = jnp.minimum(a, -1e-12)  # must be concave
+    sigma = jnp.sqrt(-1.0 / (2.0 * a))
+    baseline = mode_center[..., 0] + (-b / (2.0 * a))
+    # sane fallbacks for degenerate traces
+    fallback_b = jnp.median(y, axis=-1)
+    fallback_s = noise_std(y)
+    ok = jnp.isfinite(sigma) & jnp.isfinite(baseline) & (sigma < span[..., 0])
+    baseline = jnp.where(ok, baseline, fallback_b)
+    sigma = jnp.where(ok, sigma, fallback_s)
+    return baseline, sigma
+
+
+def _scatter_add_last(target: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Scatter-add ``vals`` into the last axis of ``target`` at ``idx``.
+
+    Shapes: target (..., n_bins), idx/vals (..., T).
+    """
+    n_bins = target.shape[-1]
+    flat_t = target.reshape(-1, n_bins)
+    flat_i = idx.reshape(-1, idx.shape[-1])
+    flat_v = vals.reshape(-1, vals.shape[-1])
+
+    def body(t, iv):
+        i, v = iv
+        return t.at[i].add(v)
+
+    out = jax.vmap(body)(flat_t, (flat_i, flat_v))
+    return out.reshape(target.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def estimate_noise(y: jnp.ndarray, method: str = "psd") -> jnp.ndarray:
+    """Dispatch: per-trace noise sigma along the last axis."""
+    if method == "psd":
+        return noise_psd(y)
+    if method == "hist":
+        return estimate_baseline_noise(y)[1]
+    if method == "std":
+        return noise_std(y)
+    raise ValueError(f"unknown noise method {method!r}")
