@@ -1,0 +1,220 @@
+"""Ring background model: per-pixel regression on a ring of neighbors.
+
+Reference: ``endoscope/fit_ring_model.m:41-127`` loops over pixels solving a
+small ridge regression of each pixel's fluctuating background ``Bf(i, :)``
+on the pixels one ring-radius away (``get_nhood.m``: distance in
+[radius, radius+1)), plus an intercept, with outlier clamping against the
+previous prediction and frame subsampling capped at ``100 * ring_size``.
+
+TPU re-design: every pixel has the SAME ring-offset pattern (out-of-FOV
+neighbors are zero-padded, and the ridge term pins their weights to ~0, which
+matches the reference's absent sparse entries). So the d independent
+(R+1 x R+1) normal-equation solves become one batched pipeline:
+
+  1. gather the ring-neighbor time series per pixel chunk -> (T', P, R)
+  2. Gram matrices via one batched matmul (MXU): G = X X^T, rhs = X y
+  3. batched Cholesky solve of (G + eps*tr(G)*I) w = rhs
+
+``apply_ring`` evaluates W @ X as a sum of R weighted spatial shifts — a
+stencil op that XLA SPMD partitions with automatic halo exchange when the
+pixel axis is sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ring_offsets(radius: int) -> np.ndarray:
+    """Pixel offsets at euclidean distance in [radius, radius+1).
+
+    Reference: ``get_nhood.m:1-26``. Returns (R, 2) int array of (dy, dx).
+    """
+    r = int(np.ceil(radius)) + 1
+    y, x = np.mgrid[-r:r + 1, -r:r + 1]
+    R = np.sqrt(x**2 + y**2)
+    sel = (R >= radius) & (R < radius + 1)
+    return np.stack([y[sel], x[sel]], axis=1).astype(np.int32)
+
+
+class RingWeights(NamedTuple):
+    """Per-pixel ring weights (d, R) plus intercept (d,), flattened pixels."""
+    w: jnp.ndarray       # (H*W, R)
+    w0: jnp.ndarray      # (H*W,)
+
+
+def _neighbor_index(H: int, W: int, offsets: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat gather indices (H*W, R) into a zero-padded (H+2m)*(W+2m) frame,
+    and a validity mask (H*W, R) for in-FOV neighbors."""
+    m = int(np.abs(offsets).max())
+    yy, xx = np.mgrid[0:H, 0:W]
+    ny = yy.reshape(-1, 1) + offsets[None, :, 0]          # (d, R)
+    nx = xx.reshape(-1, 1) + offsets[None, :, 1]
+    valid = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+    flat = (ny + m) * (W + 2 * m) + (nx + m)
+    return flat.astype(np.int32), valid
+
+
+def _pad_flat(X: jnp.ndarray, H: int, W: int, m: int) -> jnp.ndarray:
+    """(T, H, W) -> (T, (H+2m)*(W+2m)) zero-padded flat view."""
+    Xp = jnp.pad(X, ((0, 0), (m, m), (m, m)))
+    return Xp.reshape(X.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "radius", "chunk"))
+def fit_ring_weights(Bf: jnp.ndarray, H: int, W: int, radius: int,
+                     ridge_eps: float = 1e-5, chunk: int = 1024
+                     ) -> RingWeights:
+    """Fit all per-pixel ring regressions. Bf: (T', H, W) (already centered,
+    outlier-clamped, frame-subsampled by the caller). Returns RingWeights.
+
+    Ridge: (X X^T + eps * tr(X X^T) * I) w = X y, identical in form to
+    ``fit_ring_model.m:104``.
+    """
+    T = Bf.shape[0]
+    offsets = ring_offsets(radius)
+    R = offsets.shape[0]
+    m = int(np.abs(offsets).max())
+    idx, valid = _neighbor_index(H, W, offsets)
+    d = H * W
+    pad = (-d) % chunk
+    idx_p = np.pad(idx, ((0, pad), (0, 0)))
+    valid_p = np.pad(valid, ((0, pad), (0, 0)))
+    n_chunks = (d + pad) // chunk
+
+    Bf_flat = _pad_flat(Bf, H, W, m)                  # (T, padded_d)
+    y_flat = Bf.reshape(T, -1)                        # (T, d)
+    y_pad = jnp.pad(y_flat, ((0, 0), (0, pad)))
+
+    idx_c = jnp.asarray(idx_p.reshape(n_chunks, chunk, R))
+    valid_c = jnp.asarray(valid_p.reshape(n_chunks, chunk, R))
+
+    # block the time axis so the gathered (TB, chunk, R) buffer stays small
+    TB = min(512, T)
+    n_tb = -(-T // TB)
+    t_pad = n_tb * TB - T
+    Bf_blocks = jnp.pad(Bf_flat, ((0, t_pad), (0, 0))).reshape(
+        n_tb, TB, -1)
+    y_blocks = jnp.pad(y_pad, ((0, t_pad), (0, 0))).reshape(n_tb, TB, -1)
+
+    def solve_chunk(args):
+        ic, vc, yc_b = args        # (chunk,R), (chunk,R), (n_tb, TB, chunk)
+        vcf = vc.astype(Bf.dtype)
+
+        def tb_body(i, acc):
+            G, sx, Xy, sy = acc
+            X = Bf_blocks[i][:, ic] * vcf[None]        # (TB, chunk, R)
+            yb = yc_b[i]                               # (TB, chunk)
+            G = G + jnp.einsum("tpr,tps->prs", X, X,
+                               preferred_element_type=jnp.float32)
+            sx = sx + jnp.sum(X, axis=0)
+            Xy = Xy + jnp.einsum("tpr,tp->pr", X, yb,
+                                 preferred_element_type=jnp.float32)
+            sy = sy + jnp.sum(yb, axis=0)
+            return (G, sx, Xy, sy)
+
+        G0 = jnp.zeros((chunk, R, R), Bf.dtype)
+        sx0 = jnp.zeros((chunk, R), Bf.dtype)
+        Xy0 = jnp.zeros((chunk, R), Bf.dtype)
+        sy0 = jnp.zeros((chunk,), Bf.dtype)
+        G, sx, Xy, sy = jax.lax.fori_loop(0, n_tb, tb_body,
+                                          (G0, sx0, Xy0, sy0))
+        # augment with intercept row/col: [[G, sx], [sx^T, T]]
+        Gfull = jnp.concatenate([
+            jnp.concatenate([G, sx[:, :, None]], axis=2),
+            jnp.concatenate([sx[:, None, :],
+                             jnp.full((chunk, 1, 1), float(T), Bf.dtype)],
+                            axis=2)], axis=1)          # (chunk, R+1, R+1)
+        rhs = jnp.concatenate([Xy, sy[:, None]], axis=1)  # (chunk, R+1)
+        tr = jnp.trace(Gfull, axis1=1, axis2=2)
+        reg = (ridge_eps * tr)[:, None, None] * jnp.eye(R + 1, dtype=Bf.dtype)
+        sol = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Gfull + reg), rhs[..., None])[..., 0]
+        return sol                                     # (chunk, R+1)
+
+    yc_all = jnp.moveaxis(
+        y_blocks.reshape(n_tb, TB, n_chunks, chunk), 2, 0)  # (nc, n_tb, TB, chunk)
+    sols = jax.lax.map(solve_chunk, (idx_c, valid_c, yc_all))
+    sols = sols.reshape(n_chunks * chunk, R + 1)[:d]
+    valid_j = jnp.asarray(valid)
+    w = jnp.where(valid_j, sols[:, :R], 0.0)
+    return RingWeights(w=w, w0=sols[:, R])
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "radius", "include_intercept"))
+def apply_ring(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
+               radius: int, include_intercept: bool = True) -> jnp.ndarray:
+    """Evaluate the ring prediction W @ X (+ w0). X: (T, H, W) -> (T, H, W).
+
+    Implemented as a sum of R weighted spatial shifts (stencil form): XLA
+    fuses the shifts and, when H is sharded across the mesh, performs the
+    halo exchange over ICI automatically.
+    """
+    offsets = ring_offsets(radius)
+    m = int(np.abs(offsets).max())
+    Xp = jnp.pad(X, ((0, 0), (m, m), (m, m)))
+    w_img = weights.w.reshape(H, W, -1)
+    out = jnp.zeros_like(X)
+    for r, (dy, dx) in enumerate(offsets):
+        shifted = jax.lax.dynamic_slice(
+            Xp, (0, m + int(dy), m + int(dx)), X.shape)
+        out = out + w_img[None, :, :, r] * shifted
+    if include_intercept:
+        out = out + weights.w0.reshape(1, H, W)
+    return out
+
+
+def fit_ring_model(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
+                   radius: int, W_old: Optional[RingWeights] = None,
+                   sn: Optional[jnp.ndarray] = None,
+                   thresh_outlier: float = 10.0,
+                   frame_cap_factor: int = 100,
+                   ridge_eps: float = 1e-5
+                   ) -> Tuple[RingWeights, jnp.ndarray, jnp.ndarray]:
+    """Full ring-background fit (reference: ``fit_ring_model.m:41-127``).
+
+    Y: (T, H, W) raw movie; A: (K, H, W); C: (K, T).
+    Returns (weights, b0 (H, W), Bf (T', H, W) subsampled centered residual).
+
+      b0 = mean(Y) - A @ mean(C)                      (fit_ring_model.m:41-44)
+      Bf = (Y - mean(Y)) - A (C - mean(C))
+      outlier clamp at W_old(Bf) + thresh_outlier*sn  (fit_ring_model.m:50-56)
+      frame stride-subsample to 100 * ring size       (fit_ring_model.m:58-91)
+    """
+    T, H, W = Y.shape
+    Ymean = jnp.mean(Y, axis=0)
+    Cmean = jnp.mean(C, axis=-1)
+    b0 = Ymean - jnp.einsum("khw,k->hw", A, Cmean)
+    Cc = C - Cmean[:, None]
+    Bf = (Y - Ymean[None]) - jnp.einsum("khw,kt->thw", A, Cc)
+
+    if W_old is not None and sn is not None and np.isfinite(thresh_outlier):
+        pred = apply_ring(W_old, Bf, H, W, radius, include_intercept=False)
+        clamp = Bf > pred + thresh_outlier * sn[None]
+        Bf = jnp.where(clamp, pred, Bf)
+
+    R = ring_offsets(radius).shape[0]
+    nmax = frame_cap_factor * R
+    if T > nmax:
+        stride = int(np.ceil(T / nmax))
+        Bf_fit = Bf[::stride]
+    else:
+        Bf_fit = Bf
+    weights = fit_ring_weights(Bf_fit, H, W, radius, ridge_eps=ridge_eps)
+    return weights, b0, Bf_fit
+
+
+def reconstruct_ring_background(weights: RingWeights, Y: jnp.ndarray,
+                                A: jnp.ndarray, C: jnp.ndarray,
+                                b0: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """B = W (Y - b0 - A C) + w0 + b0 (reference:
+    ``Sources2D.m:1247-1355`` reconstruct_background)."""
+    T, H, W = Y.shape
+    X = Y - b0[None] - jnp.einsum("khw,kt->thw", A, C)
+    return apply_ring(weights, X, H, W, radius) + b0[None]
