@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+import scipy.ndimage
+
+from cnmf_e_tpu.native import (connected_components,
+                               connected_components_edges)
+from cnmf_e_tpu.ops.hals import hals_nmf, hals_spatial, hals_temporal
+from cnmf_e_tpu.ops.morphology import (circular_constraint,
+                                       connectivity_constraint, dilate,
+                                       label_from_seed,
+                                       search_locations_dilate)
+
+
+def test_native_cc_matches_scipy(rng):
+    n = 40
+    adj = (rng.random((n, n)) < 0.06)
+    adj = np.triu(adj, 1)
+    adj = adj | adj.T
+    labels, ncomp = connected_components(adj)
+    ncomp_ref, labels_ref = scipy.sparse.csgraph.connected_components(
+        scipy.sparse.csr_matrix(adj)) if hasattr(scipy.sparse, "csgraph") \
+        else (None, None)
+    # scipy fallback via ndimage-free check: same-partition comparison
+    import scipy.sparse.csgraph as csg
+    import scipy.sparse as sp
+    ncomp_ref, labels_ref = csg.connected_components(sp.csr_matrix(adj),
+                                                     directed=False)
+    assert ncomp == ncomp_ref
+    # partitions equal up to relabeling
+    for c in range(ncomp):
+        members = labels == c
+        assert len(np.unique(labels_ref[members])) == 1
+
+
+def test_native_cc_edges():
+    labels, n = connected_components_edges(5, np.array([0, 1, 3]),
+                                           np.array([1, 2, 4]))
+    assert n == 2
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] != labels[0]
+
+
+def test_dilate_and_flood_fill():
+    m = jnp.zeros((16, 16), bool).at[8, 8].set(True)
+    d = dilate(m, 2)
+    assert bool(d[8, 10]) and bool(d[10, 8]) and not bool(d[8, 11])
+
+    two_blobs = np.zeros((16, 16), bool)
+    two_blobs[2:5, 2:5] = True
+    two_blobs[10:13, 10:13] = True
+    keep = label_from_seed(jnp.asarray(two_blobs), jnp.asarray(3),
+                           jnp.asarray(3))
+    keep = np.asarray(keep)
+    assert keep[3, 3] and not keep[11, 11]
+
+
+def test_connectivity_constraint_removes_satellite():
+    img = np.zeros((24, 24), np.float32)
+    img[8:14, 8:14] = 1.0
+    img[10, 10] = 2.0          # peak
+    img[2:4, 2:4] = 0.8        # disconnected satellite
+    out = np.asarray(connectivity_constraint(jnp.asarray(img), se_size=3))
+    assert out[10, 10] == 2.0
+    assert out[2:4, 2:4].max() == 0.0
+
+
+def test_circular_constraint_keeps_gaussian(rng):
+    yy, xx = np.mgrid[0:21, 0:21]
+    g = np.exp(-((yy - 10.0) ** 2 + (xx - 10.0) ** 2) / 18.0).astype(np.float32)
+    out = np.asarray(circular_constraint(jnp.asarray(g)))
+    # a clean gaussian should survive nearly intact
+    assert np.sum(out > 0) > 0.8 * np.sum(g > 0.05)
+
+
+def test_search_locations_dilate():
+    A = np.zeros((2, 20, 20), np.float32)
+    A[0, 5:8, 5:8] = 1.0
+    A[1, 14:16, 14:16] = 1.0
+    masks = np.asarray(search_locations_dilate(jnp.asarray(A), radius=2))
+    assert masks[0, 6, 9]       # grown
+    assert not masks[0, 15, 15]  # not the other neuron's region
+
+
+def test_hals_decreases_rss(rng):
+    d, K, T = 300, 4, 200
+    A_true = np.abs(rng.standard_normal((d, K))).astype(np.float32)
+    C_true = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+    Y = A_true @ C_true + 0.05 * rng.standard_normal((d, T)).astype(np.float32)
+
+    A = jnp.asarray(A_true + 0.3 * np.abs(rng.standard_normal((d, K))), jnp.float32)
+    C = jnp.asarray(C_true + 0.3 * np.abs(rng.standard_normal((K, T))), jnp.float32)
+    Yj = jnp.asarray(Y)
+
+    def rss(A, C):
+        return float(np.sum((Y - np.asarray(A) @ np.asarray(C)) ** 2))
+
+    r0 = rss(A, C)
+    A1 = hals_spatial(Yj, A, C, n_iter=3)
+    r1 = rss(A1, C)
+    assert r1 < r0
+    C1, aa = hals_temporal(Yj, A1, C, n_iter=3)
+    r2 = rss(A1, C1)
+    assert r2 < r1
+    assert aa.shape == (K,)
+
+    A2, C2 = hals_nmf(Yj, A1, C1, n_iter=5)
+    assert rss(A2, C2) <= r2 * 1.01
