@@ -1,0 +1,316 @@
+"""Greedy Corr+PNR initialization, batched for TPU.
+
+Reference: ``endoscope/greedyROI_endoscope.m`` peels one neuron at a time —
+pick the best Cn*PNR local maximum, extract (a_i, c_i) from a box around it
+(``extract_ac.m``), subtract, refresh local statistics, repeat. That serial
+data-dependent loop maps poorly to an accelerator.
+
+TPU re-design (documented deviation, validated by F1/IoU parity rather than
+bitwise identity, SURVEY.md section 7 "hard parts"): peel in ROUNDS. Each
+round takes the top-N *non-conflicting* local maxima of the search image
+(greedy non-max suppression at distance gSiz), extracts all N neurons with a
+vmapped ``extract_ac``, deconvolves them as one batch, subtracts all peeled
+components at once, and refreshes Cn/PNR globally (one conv over the movie —
+cheap on TPU, simpler than the reference's local patch refresh). The host
+drives the round loop; each round is a single jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnmf_e_tpu.config import CNMFEParams
+from cnmf_e_tpu.ops.corr import correlation_image
+from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf
+from cnmf_e_tpu.ops.morphology import (circular_constraint,
+                                       connectivity_constraint)
+from cnmf_e_tpu.ops.noise import estimate_baseline_noise, noise_psd
+from cnmf_e_tpu.ops.oasis import deconvolve
+from cnmf_e_tpu.models.state import CNMFEState, empty_state
+
+
+class ExtractResult(NamedTuple):
+    a: jnp.ndarray        # (N, B, B) footprint inside the box
+    c_raw: jnp.ndarray    # (N, T) baseline-subtracted raw trace
+    ok: jnp.ndarray       # (N,) success flag
+    sn: jnp.ndarray       # (N,) trace noise
+
+
+def _box_slice(Mp: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray, B: int
+               ) -> jnp.ndarray:
+    """Extract a (T, B, B) box centered at (r, c) from a movie already
+    zero-padded by gSiz on each side (so the padded start index is (r, c))."""
+    return jax.lax.dynamic_slice(Mp, (0, r, c), (Mp.shape[0], B, B))
+
+
+@functools.partial(jax.jit, static_argnames=("gSiz", "min_pixel",
+                                             "corr_thr", "bg_corr_thr"))
+def extract_ac_batch(HY: jnp.ndarray, Y: jnp.ndarray, rows: jnp.ndarray,
+                     cols: jnp.ndarray, gSiz: int, min_pixel: int = 5,
+                     corr_thr: float = 0.9, bg_corr_thr: float = 0.3
+                     ) -> ExtractResult:
+    """Vmapped ``extract_ac`` (reference: ``extract_ac.m:19-95``).
+
+    HY/Y: (T, H, W) filtered / raw movies; rows/cols: (N,) seed centers.
+    Out-of-FOV box pixels are zero traces: their correlation is NaN so they
+    drop out of both the in-neuron and background pixel sets, matching the
+    reference's shrunken boundary boxes.
+    """
+    B = 2 * gSiz + 1
+    T = Y.shape[0]
+    HYp = jnp.pad(HY, ((0, 0), (gSiz, gSiz), (gSiz, gSiz)))
+    Yp = jnp.pad(Y, ((0, 0), (gSiz, gSiz), (gSiz, gSiz)))
+
+    def one(r, c):
+        hy = _box_slice(HYp, r, c, B).reshape(T, B * B)        # (T, P)
+        yy = _box_slice(Yp, r, c, B).reshape(T, B * B)
+        y0 = hy[:, gSiz * B + gSiz]                             # center trace
+
+        hy_c = hy - jnp.mean(hy, axis=0, keepdims=True)
+        y0_c = y0 - jnp.mean(y0)
+        denom = (jnp.linalg.norm(hy_c, axis=0)
+                 * jnp.maximum(jnp.linalg.norm(y0_c), 1e-12))
+        corr = (hy_c.T @ y0_c) / jnp.where(denom > 0, denom, jnp.nan)  # (P,)
+
+        in_mask = corr > corr_thr
+        n_in = jnp.sum(in_mask)
+        ci = jnp.sum(jnp.where(in_mask[None], hy, 0.0), axis=1) / \
+            jnp.maximum(n_in, 1)
+
+        bg_mask = corr < bg_corr_thr
+        y_bg = jnp.nanmedian(jnp.where(bg_mask[None], yy, jnp.nan), axis=1)
+        y_bg = jnp.nan_to_num(y_bg)
+
+        # per-pixel LS on [1, y_bg, ci] (extract_ac.m:54-58)
+        X = jnp.stack([jnp.ones_like(ci), y_bg, ci], axis=1)    # (T, 3)
+        G = X.T @ X + 1e-6 * jnp.eye(3, dtype=X.dtype)
+        coef = jnp.linalg.solve(G, X.T @ yy)                    # (3, P)
+        ai = jnp.maximum(coef[2], 0.0).reshape(B, B)
+
+        ai = circular_constraint(ai)
+        ai = connectivity_constraint(ai, se_size=3)
+
+        npix = jnp.sum(ai > 0)
+        # baseline + noise cleanup of ci (extract_ac.m:87-95)
+        b_hist, sn_hist = estimate_baseline_noise(ci)
+        sn_psd = noise_psd(ci)
+        med = jnp.median(ci)
+        b_sub = jnp.sum(jnp.where(ci < med, ci, 0.0)) / \
+            jnp.maximum(jnp.sum(ci < med), 1)
+        use_hist = sn_hist <= sn_psd
+        ci_out = ci - jnp.where(use_hist, b_hist, b_sub)
+        sn = jnp.minimum(sn_hist, sn_psd)
+
+        ok = (npix >= min_pixel) & (jnp.linalg.norm(ci) > 0) & \
+            jnp.all(jnp.isfinite(ai)) & jnp.all(jnp.isfinite(ci_out))
+        return ai, ci_out, ok, sn
+
+    a, c_raw, ok, sn = jax.vmap(one)(rows, cols)
+    return ExtractResult(a=a, c_raw=c_raw, ok=ok, sn=sn)
+
+
+def _local_maxima_topk(v: jnp.ndarray, window: int, n: int, vmin: float,
+                       nms_dist: int) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """Top-n local maxima of v (H, W) with greedy distance-NMS.
+
+    Returns (rows, cols, valid). The reference marks searched pixels and
+    re-runs an order-filter per peel (greedyROI_endoscope.m:211-268); here
+    one max-filter + top-k + NMS picks a whole conflict-free round.
+    """
+    H, W = v.shape
+    vmax = jax.lax.reduce_window(
+        v, -jnp.inf, jax.lax.max, (window, window), (1, 1),
+        [(window // 2, window // 2), (window // 2, window // 2)])
+    is_max = (v >= vmax) & (v > vmin)
+    score = jnp.where(is_max, v, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(score, n)
+    rows, cols = idx // W, idx % W
+    valid = vals > -jnp.inf
+
+    # greedy NMS: keep a seed only if farther than nms_dist from every
+    # higher-ranked kept seed
+    def body(i, keep):
+        dr = rows - rows[i]
+        dc = cols - cols[i]
+        close = (dr * dr + dc * dc) < nms_dist * nms_dist
+        conflict = jnp.any(close & keep & (jnp.arange(n) < i))
+        return keep.at[i].set(keep[i] & ~conflict)
+
+    keep = jax.lax.fori_loop(0, n, body, valid)
+    return rows, cols, keep
+
+
+def _weak_signal_test(HY: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Reference check (greedyROI_endoscope.m:286-293): seed trace must have
+    max(diff) >= 3 * std(diff)."""
+    def one(r, c):
+        y0 = HY[:, r, c]
+        d = jnp.diff(y0)
+        return jnp.max(d) >= 3.0 * jnp.std(d)
+    return jax.vmap(one)(rows, cols)
+
+
+def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
+                      K_max: Optional[int] = None,
+                      verbose: bool = False) -> Tuple[CNMFEState, dict]:
+    """Run the full batched greedy init. Y: (T, H, W) raw movie.
+
+    Returns (state, info) where info holds the final Cn/PNR maps and seed
+    log. The host drives rounds; all heavy work is jitted.
+    """
+    ip = params.init
+    T, H, W = Y.shape
+    K_max = K_max or ip.max_neurons
+    gSiz = int(ip.gSiz)
+    psf = gaussian_psf(ip.gSig, ip.center_psf)
+
+    state = empty_state(K_max, H, W, T)
+    Y_work = jnp.asarray(Y, jnp.float32)
+
+    HY = filter_movie(Y_work, psf)
+    HY = HY - jnp.median(HY, axis=0, keepdims=True)
+    Ysig = noise_psd(jnp.moveaxis(HY, 0, -1))
+
+    searched = jnp.zeros((H, W), bool)
+    if ip.bd > 0:
+        bd_mask = np.zeros((H, W), bool)
+        bd_mask[:ip.bd] = bd_mask[-ip.bd:] = True
+        bd_mask[:, :ip.bd] = bd_mask[:, -ip.bd:] = True
+        searched = searched | jnp.asarray(bd_mask)
+
+    n_found = 0
+    seeds_log = []
+    min_v = ip.min_corr * ip.min_pnr
+    window = max(3, gSiz // 2) | 1
+
+    for rnd in range(ip.max_rounds):
+        cn, pnr, v = _search_image(HY, Ysig, searched, ip.min_corr,
+                                   ip.min_pnr)
+        rows, cols, valid = _local_maxima_topk(
+            v, window, ip.seeds_per_round, min_v, nms_dist=gSiz)
+        valid = valid & _weak_signal_test(HY, rows, cols)
+        if not bool(jnp.any(valid)):
+            break
+
+        res = extract_ac_batch(HY, Y_work, rows, cols, gSiz,
+                               min_pixel=max(ip.min_pixel, 5),
+                               corr_thr=ip.corr_pixel_thr)
+        ok = res.ok & valid
+
+        # deconvolve the round's traces as one batch
+        if ip.deconv_at_init and params.temporal.deconv.enabled:
+            dres = deconvolve(res.c_raw, params.temporal.deconv, sn=res.sn)
+            c_use, s_use, g_use = dres.c, dres.s, dres.g
+        else:
+            c_use = jnp.maximum(res.c_raw, 0.0)
+            s_use = jnp.zeros_like(res.c_raw)
+            g_use = jnp.full((res.c_raw.shape[0], 1), 0.9, jnp.float32)
+
+        # accept into fixed slots
+        n_ok = int(jnp.sum(ok))
+        n_take = min(n_ok, K_max - n_found)
+        if n_take > 0:
+            order = np.nonzero(np.asarray(ok))[0][:n_take]
+            slot = jnp.arange(n_found, n_found + n_take)
+            sel = jnp.asarray(order)
+            A_new, searched = _place_footprints(
+                state.A, searched, res.a[sel], rows[sel], cols[sel], slot,
+                gSiz)
+            state = state.replace(
+                A=A_new,
+                C=state.C.at[slot].set(c_use[sel]),
+                C_raw=state.C_raw.at[slot].set(res.c_raw[sel]),
+                S=state.S.at[slot].set(s_use[sel]),
+                g=state.g.at[slot].set(g_use[sel][:, :state.g.shape[1]]),
+                neuron_sn=state.neuron_sn.at[slot].set(res.sn[sel]),
+                active=state.active.at[slot].set(True))
+            # peel: subtract all accepted components, then refilter
+            Y_work = _peel(Y_work, res.a[sel], c_use[sel],
+                           rows[sel], cols[sel], gSiz)
+            HY = refilter(Y_work, psf)
+            n_found += n_take
+            for i in np.asarray(sel):
+                seeds_log.append((rnd, int(rows[i]), int(cols[i])))
+
+        # mark attempted seeds as searched
+        searched = _mark_searched(searched, rows, cols, valid)
+        if verbose:
+            print(f"init round {rnd}: +{n_take} neurons (total {n_found})")
+        if n_found >= K_max:
+            break
+
+    cn, pnr, _ = _search_image(HY, Ysig, jnp.zeros((H, W), bool),
+                               ip.min_corr, ip.min_pnr)
+    info = {"Cn": cn, "PNR": pnr, "seeds": seeds_log, "n_found": n_found,
+            "residual_Y": Y_work}
+    return state, info
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _search_image(HY, Ysig, searched, min_corr, min_pnr):
+    """(Cn, PNR, masked search value) of the current filtered residual."""
+    pnr = jnp.max(HY, axis=0) / jnp.maximum(Ysig, 1e-12)
+    HY_thr = jnp.where(HY >= 3.0 * Ysig[None], HY, 0.0)
+    cn = jnp.nan_to_num(correlation_image(HY_thr, center=False))
+    v = cn * pnr
+    v = jnp.where((cn < min_corr) | (pnr < min_pnr) | searched, 0.0, v)
+    return cn, pnr, v
+
+
+@functools.partial(jax.jit, static_argnames=("gSiz",))
+def _place_footprints(A, searched, a_boxes, rows, cols, slots, gSiz: int):
+    """Scatter (N, B, B) boxes into (K_max, H, W) slots; mark core pixels
+    (a > 0.5 max, reference greedyROI_endoscope.m:375) as searched."""
+    K_max, H, W = A.shape
+    B = 2 * gSiz + 1
+
+    def body(i, carry):
+        A, searched = carry
+        pad_img = jnp.zeros((H + 2 * gSiz, W + 2 * gSiz), A.dtype)
+        pad_img = jax.lax.dynamic_update_slice(
+            pad_img, a_boxes[i], (rows[i], cols[i]))
+        img = pad_img[gSiz:gSiz + H, gSiz:gSiz + W]
+        A = A.at[slots[i]].set(img)
+        core = img > 0.5 * jnp.max(img)
+        return A, searched | core
+
+    return jax.lax.fori_loop(0, rows.shape[0], body, (A, searched))
+
+
+@jax.jit
+def _mark_searched(searched, rows, cols, valid):
+    H, W = searched.shape
+    hit = (jax.nn.one_hot(jnp.where(valid, rows, H), H + 1,
+                          dtype=jnp.float32)[:, :H, None]
+           * jax.nn.one_hot(jnp.where(valid, cols, W), W + 1,
+                            dtype=jnp.float32)[:, None, :W])
+    return searched | (jnp.sum(hit, axis=0) > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("gSiz",))
+def _peel(Y, a_boxes, c, rows, cols, gSiz: int):
+    """Subtract sum_k a_k c_k (boxes scattered into the FOV) from Y."""
+    T, H, W = Y.shape
+    n = a_boxes.shape[0]
+
+    def body(i, full_A):
+        pad_img = jnp.zeros((H + 2 * gSiz, W + 2 * gSiz), Y.dtype)
+        pad_img = jax.lax.dynamic_update_slice(
+            pad_img, a_boxes[i], (rows[i], cols[i]))
+        return full_A.at[i].set(pad_img[gSiz:gSiz + H, gSiz:gSiz + W])
+
+    full_A = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((n, H, W), Y.dtype))
+    return Y - jnp.einsum("khw,kt->thw", full_A, c)
+
+
+def refilter(Y: jnp.ndarray, psf: np.ndarray) -> jnp.ndarray:
+    HY = filter_movie(Y, psf)
+    return HY - jnp.median(HY, axis=0, keepdims=True)
