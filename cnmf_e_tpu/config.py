@@ -61,6 +61,9 @@ class InitParams:
     center_psf: bool = True
     min_corr: float = 0.8
     min_pnr: float = 8.0
+    # relaxed thresholds for the residual pick pass (demo_large_data_1p.m)
+    min_corr_res: float = 0.7
+    min_pnr_res: float = 6.0
     # minimum number of nonzero pixels per neuron
     min_pixel: int = 8
     # boundary width to exclude from seed search
@@ -141,6 +144,10 @@ class MergeParams:
     dmin: float = 5.0
     # spatial-overlap + trace-corr merge ("merge_thr_spatial" triple)
     merge_thr_spatial: Tuple[float, float, float] = (0.8, 0.4, -1.0)
+    # distance-only merge radius (reference merge_close_neighbors dmin_only,
+    # demo default 2.4 * gSig); folds duplicate/ghost components into their
+    # originals regardless of trace correlation
+    dmin_only: float = 6.0
     # rank-1 refit iterations after a merge (reference uses 10 alternating LS)
     refit_iters: int = 10
 

@@ -1,0 +1,55 @@
+"""Background update dispatch: ring (1p) or low-rank svd/nmf (2p).
+
+Reference orchestration: ``update_background_parallel.m`` (per-patch parfor);
+here the fit runs on the full sharded FOV in one jitted program (the ring
+stencil and Gram matmuls partition over the mesh automatically).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from cnmf_e_tpu.config import CNMFEParams
+from cnmf_e_tpu.models.state import CNMFEState
+from cnmf_e_tpu.ops.lowrank import fit_lowrank_model
+from cnmf_e_tpu.ops.ring import (fit_ring_model, reconstruct_ring_background)
+
+
+def update_background(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
+                      sn_pix: Optional[jnp.ndarray] = None) -> CNMFEState:
+    """Refit the background model given current (A, C). Y: (T, H, W)."""
+    bp = params.background
+    A = state.masked_A()
+    C = state.masked_C()
+    if bp.model == "ring":
+        weights, b0, _ = fit_ring_model(
+            Y, A, C, radius=bp.ring_radius, W_old=state.W, sn=sn_pix,
+            thresh_outlier=bp.thresh_outlier,
+            frame_cap_factor=bp.frame_cap_factor, ridge_eps=bp.ridge_eps)
+        return state.replace(W=weights, b0=b0)
+    b, f, b0 = fit_lowrank_model(Y, A, C, rank=bp.rank, mode=bp.model)
+    return state.replace(b=b, f=f, b0=b0)
+
+
+def background_of(Y: jnp.ndarray, state: CNMFEState,
+                  params: CNMFEParams) -> jnp.ndarray:
+    """Evaluate the current background estimate B (T, H, W)."""
+    bp = params.background
+    if bp.model == "ring":
+        if state.W is None:
+            return jnp.broadcast_to(state.b0[None], Y.shape)
+        return reconstruct_ring_background(
+            state.W, Y, state.masked_A(), state.masked_C(), state.b0,
+            radius=bp.ring_radius)
+    if state.b is None:
+        return jnp.broadcast_to(state.b0[None], Y.shape)
+    return jnp.einsum("rhw,rt->thw", state.b, state.f) + state.b0[None]
+
+
+def subtract_background(Y: jnp.ndarray, state: CNMFEState,
+                        params: CNMFEParams) -> jnp.ndarray:
+    """Ysignal = Y - B, the input to the spatial/temporal factor updates
+    (reference: inline bg reconstruction in ``update_spatial_parallel.m:157-188``)."""
+    return Y - background_of(Y, state, params)

@@ -1,0 +1,56 @@
+"""DF/F extraction.
+
+Reference: ``extract_DF_F_endoscope`` (``Sources2D.m:540-570``) — project the
+background movie onto each (normalized) footprint to get the per-neuron
+baseline fluorescence, take its median / running percentile as F0, and
+divide the traces.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cnmf_e_tpu.config import CNMFEParams
+from cnmf_e_tpu.models.background import background_of
+from cnmf_e_tpu.models.state import CNMFEState
+
+
+def running_percentile(x: jnp.ndarray, window: int, q: float) -> jnp.ndarray:
+    """Causal-centered running percentile along the last axis via strided
+    window quantiles (reference: ``utilities/running_percentile.m``)."""
+    T = x.shape[-1]
+    half = window // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)], mode="edge")
+    idx = jnp.arange(T)[:, None] + jnp.arange(window)[None, :]
+    frames = xp[..., idx]                      # (..., T, window)
+    return jnp.quantile(frames, q / 100.0, axis=-1)
+
+
+def extract_dff(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
+                window: Optional[int] = None, prctile: float = 50.0
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (C_df, C_raw_df, F0). Y: (T, H, W) raw movie.
+
+    F0 is per neuron: the percentile of the footprint-projected background
+    (whole-session if ``window`` is None, else a running percentile).
+    """
+    T, H, W = Y.shape
+    K = state.K_max
+    B = background_of(Y, state, params)                  # (T, H, W)
+    A = state.masked_A().reshape(K, H * W)
+    norm = jnp.sum(A * A, axis=1)
+    An = A / jnp.maximum(norm, 1e-12)[:, None]
+    Ybg = jnp.einsum("kd,td->kt", An, B.reshape(T, H * W))  # (K, T)
+
+    if window is None or window >= T:
+        F0 = jnp.percentile(Ybg, prctile, axis=-1)[:, None]
+    else:
+        F0 = running_percentile(Ybg, window, prctile)
+    F0 = jnp.maximum(F0, 1e-12)
+    C_df = state.C / F0
+    C_raw_df = state.C_raw / F0
+    act = state.active[:, None]
+    return jnp.where(act, C_df, 0.0), jnp.where(act, C_raw_df, 0.0), F0

@@ -159,8 +159,14 @@ def _weak_signal_test(HY: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
 
 def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
                       K_max: Optional[int] = None,
+                      state: Optional[CNMFEState] = None,
+                      min_corr: Optional[float] = None,
+                      min_pnr: Optional[float] = None,
                       verbose: bool = False) -> Tuple[CNMFEState, dict]:
-    """Run the full batched greedy init. Y: (T, H, W) raw movie.
+    """Run the full batched greedy init. Y: (T, H, W) movie (raw, or the
+    residual Y - AC - B for the residual pick pass,
+    ``initComponents_residual_parallel.m``). When ``state`` is given, new
+    neurons append into its free slots.
 
     Returns (state, info) where info holds the final Cn/PNR maps and seed
     log. The host drives rounds; all heavy work is jitted.
@@ -170,8 +176,15 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
     K_max = K_max or ip.max_neurons
     gSiz = int(ip.gSiz)
     psf = gaussian_psf(ip.gSig, ip.center_psf)
+    if min_corr is None:
+        min_corr = ip.min_corr
+    if min_pnr is None:
+        min_pnr = ip.min_pnr
 
-    state = empty_state(K_max, H, W, T)
+    if state is None:
+        state = empty_state(K_max, H, W, T)
+    else:
+        K_max = state.K_max
     Y_work = jnp.asarray(Y, jnp.float32)
 
     HY = filter_movie(Y_work, psf)
@@ -185,14 +198,14 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
         bd_mask[:, :ip.bd] = bd_mask[:, -ip.bd:] = True
         searched = searched | jnp.asarray(bd_mask)
 
-    n_found = 0
+    import numpy as _np
+    n_found = int(_np.asarray(state.active).sum())
     seeds_log = []
-    min_v = ip.min_corr * ip.min_pnr
+    min_v = min_corr * min_pnr
     window = max(3, gSiz // 2) | 1
 
     for rnd in range(ip.max_rounds):
-        cn, pnr, v = _search_image(HY, Ysig, searched, ip.min_corr,
-                                   ip.min_pnr)
+        cn, pnr, v = _search_image(HY, Ysig, searched, min_corr, min_pnr)
         rows, cols, valid = _local_maxima_topk(
             v, window, ip.seeds_per_round, min_v, nms_dist=gSiz)
         valid = valid & _weak_signal_test(HY, rows, cols)
@@ -247,7 +260,7 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
             break
 
     cn, pnr, _ = _search_image(HY, Ysig, jnp.zeros((H, W), bool),
-                               ip.min_corr, ip.min_pnr)
+                               min_corr, min_pnr)
     info = {"Cn": cn, "PNR": pnr, "seeds": seeds_log, "n_found": n_found,
             "residual_Y": Y_work}
     return state, info

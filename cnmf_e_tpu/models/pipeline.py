@@ -1,0 +1,153 @@
+"""End-to-end CNMF-E pipeline: the Sources2D-equivalent high-level API.
+
+Stage order mirrors the canonical large-data demo
+(``demos/demo_large_data_1p.m:122-232``):
+
+  init -> merge -> background -> residual pick -> temporal -> QC ->
+  merges -> spatial -> [background -> temporal -> spatial -> merges] x N
+
+Every stage is a pure function over the immutable :class:`CNMFEState`;
+the driver below is plain Python orchestrating jitted programs, so the same
+code runs single-chip or on a ``(patch, frame)`` mesh (sharded inputs).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cnmf_e_tpu.config import CNMFEParams
+from cnmf_e_tpu.models.background import (background_of, subtract_background,
+                                          update_background)
+from cnmf_e_tpu.models.dff import extract_dff
+from cnmf_e_tpu.models.initialize import initialize_greedy
+from cnmf_e_tpu.models.merge import merge_neurons
+from cnmf_e_tpu.models.qc import remove_false_positives, tag_neurons
+from cnmf_e_tpu.models.spatial import update_spatial
+from cnmf_e_tpu.models.state import CNMFEState, compact
+from cnmf_e_tpu.models.temporal import update_temporal
+from cnmf_e_tpu.ops.noise import noise_psd
+
+
+class CNMFE:
+    """High-level pipeline object (the reference's ``Sources2D`` role, but
+    holding immutable state + config rather than mutable arrays)."""
+
+    def __init__(self, params: Optional[CNMFEParams] = None):
+        self.params = params or CNMFEParams.preset_1p()
+        self.state: Optional[CNMFEState] = None
+        self.info: dict = {}
+
+    # ------------------------------------------------------------------ #
+    def estimate_pixel_noise(self, Y: jnp.ndarray) -> jnp.ndarray:
+        """Per-pixel noise sigma over the first ``noise_frame_cap`` frames
+        (reference: ``Sources2D.m:328-379``)."""
+        cap = min(self.params.noise_frame_cap, Y.shape[0])
+        return noise_psd(jnp.moveaxis(Y[:cap], 0, -1))
+
+    # ------------------------------------------------------------------ #
+    def fit(self, Y, n_outer: int = 2, verbose: bool = False
+            ) -> CNMFEState:
+        """Run the full pipeline on an in-memory movie Y (T, H, W)."""
+        p = self.params
+        Y = jnp.asarray(Y, jnp.float32)
+        log = self._log(verbose)
+        t0 = time.time()
+
+        sn_pix = self.estimate_pixel_noise(Y)
+        log(f"pixel noise estimated ({time.time() - t0:.1f}s)")
+
+        # --- initialization -------------------------------------------- #
+        state, info = initialize_greedy(Y, p, verbose=verbose)
+        self.info.update(Cn=info["Cn"], PNR=info["PNR"])
+        log(f"init: {int(state.n_active())} neurons "
+            f"({time.time() - t0:.1f}s)")
+
+        state, nm = merge_neurons(state, p, "dist_corr")
+        log(f"merge(dist_corr): {nm} clusters")
+
+        # --- background ------------------------------------------------- #
+        state = update_background(Y, state, p, sn_pix=sn_pix)
+        log(f"background update ({time.time() - t0:.1f}s)")
+
+        # --- residual pick ---------------------------------------------- #
+        state = compact(state)
+        resid = (subtract_background(Y, state, p)
+                 - jnp.einsum("khw,kt->thw", state.masked_A(),
+                              state.masked_C()))
+        state, _ = initialize_greedy(
+            resid, p, state=state, min_corr=p.init.min_corr_res,
+            min_pnr=p.init.min_pnr_res, verbose=verbose)
+        log(f"residual pick: total {int(state.n_active())} neurons "
+            f"({time.time() - t0:.1f}s)")
+
+        # --- refinement (demo_large_data_1p.m order) -------------------- #
+        # spatial first so residual duplicates refit onto the data, then
+        # temporal + merge passes fold them into their originals
+        Ysig = subtract_background(Y, state, p)
+        state = update_spatial(Ysig, state, p)
+        state, nm = merge_neurons(state, p, "high_corr")
+        log(f"spatial + merge(high_corr: {nm}) ({time.time() - t0:.1f}s)")
+
+        for it in range(max(n_outer, 1)):
+            state = update_temporal(Ysig, state, p)
+            state = remove_false_positives(state, p)
+            state, nm = merge_neurons(state, p, "dist_corr")
+            log(f"iter {it}: temporal + QC + merge({nm}), "
+                f"{int(state.n_active())} neurons ({time.time() - t0:.1f}s)")
+
+        # fold co-located duplicates (ghosts from the residual pick) into
+        # their originals (reference: merge_close_neighbors with dmin_only)
+        state, nm = merge_neurons(state, p, "dist_only")
+        log(f"merge(dist_only): {nm} clusters")
+
+        # final full pass on a refreshed background
+        state = update_background(Y, state, p, sn_pix=sn_pix)
+        Ysig = subtract_background(Y, state, p)
+        state = update_spatial(Ysig, state, p)
+        state = update_temporal(Ysig, state, p)
+        k_before = int(state.n_active())
+        state = remove_false_positives(state, p)
+        state, _ = merge_neurons(state, p, "dist_corr")
+        state, _ = merge_neurons(state, p, "high_corr")
+        log(f"final pass ({time.time() - t0:.1f}s)")
+        if int(state.n_active()) != k_before:
+            Ysig = subtract_background(Y, state, p)
+            state = update_spatial(Ysig, state, p)
+            state = update_temporal(Ysig, state, p)
+            state = remove_false_positives(state, p)
+        state = tag_neurons(state, p)
+        state = compact(state)
+        log(f"done: {int(state.n_active())} neurons "
+            f"({time.time() - t0:.1f}s)")
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------ #
+    def dff(self, Y, window: Optional[int] = None, prctile: float = 50.0):
+        assert self.state is not None, "run fit() first"
+        return extract_dff(jnp.asarray(Y, jnp.float32), self.state,
+                           self.params, window=window, prctile=prctile)
+
+    def background(self, Y) -> jnp.ndarray:
+        assert self.state is not None, "run fit() first"
+        return background_of(jnp.asarray(Y, jnp.float32), self.state,
+                             self.params)
+
+    def reconstruction(self, Y) -> jnp.ndarray:
+        """Denoised movie A C + B."""
+        st = self.state
+        return (jnp.einsum("khw,kt->thw", st.masked_A(), st.masked_C())
+                + self.background(Y))
+
+    def residual(self, Y) -> jnp.ndarray:
+        return jnp.asarray(Y, jnp.float32) - self.reconstruction(Y)
+
+    @staticmethod
+    def _log(verbose):
+        if verbose:
+            return lambda msg: print(f"[cnmfe] {msg}", flush=True)
+        return lambda msg: None

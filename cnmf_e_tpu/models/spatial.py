@@ -1,0 +1,63 @@
+"""Spatial (A) update.
+
+Reference: ``update_spatial_parallel.m`` — per-patch parfor over pixels with
+HALS / thresholded-HALS / NNLS solvers on search-location-masked supports,
+then stitching and post-processing. Here: one masked solve over the full
+(sharded) FOV; the Grams are MXU matmuls and the per-neuron sweeps are
+``fori`` loops inside a single jitted program.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cnmf_e_tpu.config import CNMFEParams
+from cnmf_e_tpu.models.state import CNMFEState
+from cnmf_e_tpu.ops.hals import hals_spatial
+from cnmf_e_tpu.ops.morphology import (connectivity_constraint,
+                                       circular_constraint,
+                                       search_locations_dilate)
+from cnmf_e_tpu.ops.nnls import nnls_pixels
+
+
+def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
+                   params: CNMFEParams) -> CNMFEState:
+    """Update footprints given traces. Ysignal: (T, H, W) = Y - B."""
+    sp = params.spatial
+    T, H, W = Ysignal.shape
+    K = state.K_max
+    A = state.masked_A()
+    C = state.masked_C()
+
+    if sp.search_method == "dilate":
+        masks = search_locations_dilate(A, radius=sp.dilate_radius)
+    else:
+        masks = jnp.ones_like(A, dtype=bool)
+    masks = masks & state.active[:, None, None]
+
+    Yd = Ysignal.reshape(T, H * W).T                # (d, T)
+    Ad = A.reshape(K, H * W).T                      # (d, K)
+    Md = masks.reshape(K, H * W).T                  # (d, K)
+
+    if sp.algorithm in ("hals", "hals_thresh"):
+        Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter)
+    elif sp.algorithm == "nnls":
+        Ad = nnls_pixels(C, Yd, A0=Ad, mask=Md, n_iter=20 * sp.n_iter)
+    else:
+        raise ValueError(f"unknown spatial algorithm {sp.algorithm!r}")
+
+    A_new = Ad.T.reshape(K, H, W)
+    A_new = post_process_spatial(A_new, params)
+    A_new = A_new * state.active[:, None, None]
+    return state.replace(A=A_new)
+
+
+def post_process_spatial(A: jnp.ndarray, params: CNMFEParams) -> jnp.ndarray:
+    """Shape cleanup (reference: ``post_process_spatial.m`` /
+    ``trimSpatial``): keep the peak-connected blob; optional circular prior."""
+    sp = params.spatial
+    if sp.connected:
+        A = connectivity_constraint(A, se_size=3)
+    if sp.circular:
+        A = circular_constraint(A)
+    return A

@@ -66,11 +66,19 @@ def gaussian_footprints(rng: np.random.Generator, K: int, H: int, W: int,
 
 def smooth_field(rng: np.random.Generator, H: int, W: int,
                  scale: float = 20.0) -> np.ndarray:
-    """Smooth random spatial field in [0, 1] via low-frequency fourier mix."""
+    """Smooth random spatial field in [0, 1] via low-frequency fourier mix.
+
+    All wavelengths are bounded below by ``2 * scale`` so the field stays
+    neuropil-like (1p backgrounds are much smoother than somata; without the
+    bound, random gaussian frequencies occasionally produce neuron-scale
+    ripples that no band-pass filter could reject).
+    """
     field = np.zeros((H, W))
     yy, xx = np.mgrid[0:H, 0:W]
     for _ in range(6):
-        fy, fx = rng.normal(0, 1.0 / scale, 2)
+        theta = rng.uniform(0, 2 * np.pi)
+        mag = rng.uniform(0.3, 1.0) / (2.0 * scale)
+        fy, fx = mag * np.sin(theta), mag * np.cos(theta)
         ph = rng.uniform(0, 2 * np.pi)
         field += rng.uniform(0.3, 1.0) * np.cos(2 * np.pi * (fy * yy + fx * xx) + ph)
     field -= field.min()
