@@ -1,0 +1,87 @@
+"""Benchmark: one full CNMF-E model-update iteration on a single chip.
+
+Measures the HALS-iteration throughput of the flagship distributed step
+(ring-background subtraction + spatial/temporal HALS + batched OASIS
+deconvolution) on a 256x256 x 2000-frame synthetic movie with 192 neurons —
+the BASELINE.json "Mpixel-frames/s/chip per HALS iter" metric.
+
+``vs_baseline`` compares against the only wall-clock evidence in the
+reference repo: the committed 2p demo log runs its FULL pipeline on a
+2000-frame movie in ~10 s (demos/data_2p_source_extraction/LOGS_25-Sep_12_06_40/
+logs.txt). Assuming the typical 256x256 FOV, that is ~13.1 Mpixel-frames/s
+end-to-end; one of our update iterations touches the movie a comparable
+number of times as one reference update round, so the ratio is indicative,
+not exact (the movies themselves are stripped from the snapshot).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cnmf_e_tpu.ops.ring import ring_offsets, fit_ring_weights
+    from cnmf_e_tpu.parallel.step import StepState, make_update_step
+
+    H = W = 256
+    T = 2000
+    K = 192
+    radius = 13
+    R = ring_offsets(radius).shape[0]
+    rng = np.random.default_rng(0)
+
+    # synthetic state: random nonneg footprints + AR traces + ring weights
+    Y = jnp.asarray(rng.standard_normal((T, H, W)) * 0.1 + 1.0, jnp.float32)
+    A = np.zeros((K, H, W), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for k in range(K):
+        cy, cx = rng.uniform(10, H - 10), rng.uniform(10, W - 10)
+        A[k] = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+    C = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+
+    st = StepState(
+        A=jnp.asarray(A),
+        C=jnp.asarray(C),
+        C_raw=jnp.zeros((K, T), jnp.float32),
+        S=jnp.zeros((K, T), jnp.float32),
+        g=jnp.full((K,), 0.92, jnp.float32),
+        b0=jnp.ones((H, W), jnp.float32),
+        ring_w=jnp.full((H * W, R), 1.0 / R, jnp.float32),
+        ring_w0=jnp.zeros((H * W,), jnp.float32),
+    )
+
+    step = make_update_step(None, H, W, T, radius=radius, n_hals=1)
+
+    def force(x):
+        # block_until_ready does not reliably block on the axon platform;
+        # a scalar fetch does
+        return float(jnp.sum(x.C))
+
+    # warmup/compile
+    out = step(Y, st)
+    force(out)
+
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(Y, out)
+        force(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    pixel_frames = H * W * T
+    value = pixel_frames / dt / 1e6          # Mpixel-frames/s/chip
+    baseline = 256 * 256 * 2000 / 10.0 / 1e6  # reference 2p demo estimate
+    print(json.dumps({
+        "metric": "hals_iter_throughput",
+        "value": round(value, 2),
+        "unit": "Mpixel-frames/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
