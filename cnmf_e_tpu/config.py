@@ -47,6 +47,11 @@ class DeconvParams:
     p_noise: float = 0.9999
     # noise estimation for traces
     sn_method: str = "psd"  # {"psd", "hist", "std"}
+    # divide-and-conquer OASIS time-chunk size; 0 = exact sequential event
+    # loop. The fast path is exact for smin == 0 (PAVA confluence) and can
+    # deviate at isolated samples for smin > 0 (trace corr vs exact stays
+    # > 0.999 in all measured regimes)
+    fast_chunk: int = 128
 
 
 @dataclass(frozen=True)

@@ -114,9 +114,175 @@ def _oasis_ar1_single(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
     return c, s
 
 
-def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _oasis_pools_single(v0, w0, ts0, l0, n_in, g, smin, T):
+    """Pool-granularity OASIS event loop: merge an ordered list of pools.
+
+    Inputs are per-trace pool arrays of capacity T (valid up to ``n_in``),
+    with pool values already lambda-adjusted. Returns (c, s) of length T.
+    This generalizes the sample-level loop (each event pushes the next
+    *pool* instead of the next sample), enabling the divide-and-conquer
+    fast path: chunk-local solves shrink T samples to far fewer pools, and
+    this loop's trip count scales with the pool count, not T.
+    """
+    dt = v0.dtype
+    v = jnp.zeros(T, dt)
+    w = jnp.ones(T, dt)
+    ts = jnp.zeros(T, jnp.int32)
+    ln = jnp.zeros(T, jnp.int32)
+    logg = jnp.log(jnp.maximum(g, 1e-10))
+
+    def violated(state):
+        v, w, ts, ln, n_pool, icur = state
+        p, q = n_pool - 2, n_pool - 1
+        vp = jnp.maximum(v[p] / w[p], 0.0)
+        vq = v[q] / w[q]
+        gl = jnp.exp(logg * ln[p].astype(dt))
+        return (n_pool >= 2) & (vq < vp * gl + smin)
+
+    def cond(state):
+        _, _, _, _, n_pool, icur = state
+        return (icur < n_in) | violated(state)
+
+    def body(state):
+        v, w, ts, ln, n_pool, icur = state
+
+        def do_merge(st):
+            v, w, ts, ln, n_pool, icur = st
+            p, q = n_pool - 2, n_pool - 1
+            gl = jnp.exp(logg * ln[p].astype(dt))
+            v = v.at[p].add(v[q] * gl)
+            w = w.at[p].add(w[q] * gl * gl)
+            ln = ln.at[p].add(ln[q])
+            return (v, w, ts, ln, n_pool - 1, icur)
+
+        def do_push(st):
+            v, w, ts, ln, n_pool, icur = st
+            v = v.at[n_pool].set(v0[icur])
+            w = w.at[n_pool].set(w0[icur])
+            ts = ts.at[n_pool].set(ts0[icur])
+            ln = ln.at[n_pool].set(l0[icur])
+            return (v, w, ts, ln, n_pool + 1, icur + 1)
+
+        return jax.lax.cond(violated(state), do_merge, do_push, state)
+
+    v, w, ts, ln, n_pool, _ = jax.lax.while_loop(
+        cond, body, (v, w, ts, ln, jnp.int32(0), jnp.int32(0)))
+
+    # reconstruct c from the pool stack (same as the sample-level loop)
+    tgrid = jnp.arange(T)
+    valid = jnp.arange(T) < n_pool
+    is_start = jnp.zeros(T, jnp.int32).at[jnp.where(valid, ts, 0)].max(
+        valid.astype(jnp.int32))
+    is_start = is_start.at[0].set(1)
+    seg = jnp.cumsum(is_start) - 1
+    pool_val = jnp.maximum(v / w, 0.0)
+    c = pool_val[seg] * jnp.exp(logg * (tgrid - ts[seg]).astype(dt))
+    c_prev = jnp.concatenate([jnp.zeros(1, dt), c[:-1]])
+    s = jnp.where((is_start == 1) & (tgrid > 0), c - g * c_prev, 0.0)
+    return c, s
+
+
+def _chunk_pools_single(y_adj, g, smin, L):
+    """Solve OASIS independently on length-L chunks of one trace and return
+    the chunk pools packed in order: (v, w, ts, l, count) of capacity T."""
+    T = y_adj.shape[0]
+    n_chunks = T // L
+    dt = y_adj.dtype
+    logg = jnp.log(jnp.maximum(g, 1e-10))
+
+    def chunk(yc, t_off):
+        # sample-level stack loop on one chunk
+        v = jnp.zeros(L, dt)
+        w = jnp.ones(L, dt)
+        ln = jnp.zeros(L, jnp.int32)
+        ts = jnp.zeros(L, jnp.int32)
+
+        def violated(state):
+            v, w, ts, ln, n_pool, tcur = state
+            p, q = n_pool - 2, n_pool - 1
+            vp = jnp.maximum(v[p] / w[p], 0.0)
+            vq = v[q] / w[q]
+            gl = jnp.exp(logg * ln[p].astype(dt))
+            return (n_pool >= 2) & (vq < vp * gl + smin)
+
+        def cond(state):
+            _, _, _, _, n_pool, tcur = state
+            return (tcur < L) | violated(state)
+
+        def body(state):
+            v, w, ts, ln, n_pool, tcur = state
+
+            def do_merge(st):
+                v, w, ts, ln, n_pool, tcur = st
+                p, q = n_pool - 2, n_pool - 1
+                gl = jnp.exp(logg * ln[p].astype(dt))
+                v = v.at[p].add(v[q] * gl)
+                w = w.at[p].add(w[q] * gl * gl)
+                ln = ln.at[p].add(ln[q])
+                return (v, w, ts, ln, n_pool - 1, tcur)
+
+            def do_push(st):
+                v, w, ts, ln, n_pool, tcur = st
+                v = v.at[n_pool].set(yc[tcur])
+                w = w.at[n_pool].set(1.0)
+                ts = ts.at[n_pool].set(t_off + tcur)
+                ln = ln.at[n_pool].set(1)
+                return (v, w, ts, ln, n_pool + 1, tcur + 1)
+
+            return jax.lax.cond(violated(state), do_merge, do_push, state)
+
+        v, w, ts, ln, n_pool, _ = jax.lax.while_loop(
+            cond, body, (v, w, ts, ln, jnp.int32(0), jnp.int32(0)))
+        return v, w, ts, ln, n_pool
+
+    y_chunks = y_adj.reshape(n_chunks, L)
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * L
+    cv, cw, cts, cl, cn = jax.vmap(chunk)(y_chunks, offs)
+
+    # order-preserving packing of valid pools into (T,) arrays; invalid
+    # entries scatter to slot T-1, which valid pools never occupy when any
+    # merging happened (total < T), and no invalid entries exist otherwise
+    slot_valid = jnp.arange(L)[None, :] < cn[:, None]        # (nc, L)
+    flat_valid = slot_valid.reshape(-1)
+    pos = jnp.cumsum(flat_valid) - 1                         # target index
+    idx = jnp.where(flat_valid, pos, T - 1)
+    total = jnp.sum(cn)
+
+    def pack(x, fill):
+        out = jnp.full((T,), fill, x.reshape(-1).dtype)
+        return out.at[idx].set(jnp.where(flat_valid, x.reshape(-1), fill))
+
+    pv = pack(cv, jnp.asarray(0.0, dt))
+    pw = pack(cw, jnp.asarray(1.0, dt))
+    pts = pack(cts, jnp.asarray(0, jnp.int32))
+    pl = pack(cl, jnp.asarray(0, jnp.int32))
+    return pv, pw, pts, pl, total
+
+
+def _oasis_ar1_dc_single(y, g, lam, smin, L, T_real=None):
+    """Divide-and-conquer OASIS on one trace: chunk solves + pool merge.
+
+    ``T_real`` marks the last REAL sample (before never-merge padding) so
+    the boundary lambda adjustment lands on it (oasisAR1.m:50)."""
+    T = y.shape[0]
+    last = (T if T_real is None else T_real) - 1
+    vinit = y - lam * (1.0 - g)
+    vinit = vinit.at[last].set(y[last] - lam)
+    pv, pw, pts, pl, n = _chunk_pools_single(vinit, g, smin, L)
+    return _oasis_pools_single(pv, pw, pts, pl, n, g, smin, T)
+
+
+def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
+              chunk: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched OASIS AR(1). y: (..., T); g/lam/smin scalars or (...,).
+
+    Uses the divide-and-conquer fast path when T is divisible into
+    ``chunk``-sized pieces: chunk-local pool solves run in parallel
+    (vmapped, while-loop trip count ~2*chunk), then a pool-granularity
+    event loop merges across chunk boundaries — its trip count scales with
+    the surviving pool count (typically << T), cutting the sequential
+    depth by an order of magnitude vs the sample-level loop. Pool merging
+    is confluent (PAVA), so the result matches the sequential algorithm.
 
     Returns (c, s) with the same shape as y.
     """
@@ -124,9 +290,23 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0
     batch_shape = y.shape[:-1]
     T = y.shape[-1]
     yf = y.reshape(-1, T)
-    n = yf.shape[0]
     bc = lambda x: jnp.broadcast_to(jnp.asarray(x, yf.dtype), batch_shape).reshape(-1)
-    c, s = jax.vmap(_oasis_ar1_single)(yf, bc(g), bc(lam), bc(smin))
+    if chunk and T > chunk:
+        # pad to a chunk multiple with huge values: a sample far above any
+        # decayed predecessor never triggers a merge, so the pad pools stay
+        # isolated after the real trace and are sliced off below
+        Tpad = -(-T // chunk) * chunk
+        if Tpad != T:
+            big = jnp.max(jnp.abs(yf)) * 2.0 + 1e6
+            yf = jnp.concatenate(
+                [yf, jnp.full((yf.shape[0], Tpad - T), big, yf.dtype)],
+                axis=-1)
+        c, s = jax.vmap(
+            functools.partial(_oasis_ar1_dc_single, L=chunk, T_real=T))(
+                yf, bc(g), bc(lam), bc(smin))
+        c, s = c[:, :T], s[:, :T]
+    else:
+        c, s = jax.vmap(_oasis_ar1_single)(yf, bc(g), bc(lam), bc(smin))
     return c.reshape(y.shape), s.reshape(y.shape)
 
 
@@ -144,7 +324,7 @@ def _g1(g, batch, dtype):
 
 def foopsi_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
                sn: Optional[jnp.ndarray] = None, optimize_b: bool = False,
-               max_iter: int = 10) -> DeconvResult:
+               max_iter: int = 10, chunk: int = 128) -> DeconvResult:
     """FOOPSI via OASIS (reference: ``foopsi_oasisAR1.m``).
 
     ``smin < 0`` means ``|smin| * sn`` (noise-proportional spike floor,
@@ -161,7 +341,7 @@ def foopsi_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
     lam_arr = jnp.broadcast_to(jnp.asarray(lam, y.dtype), batch)
 
     if not optimize_b:
-        c, s = oasis_ar1(y, g, lam_arr, smin_arr)
+        c, s = oasis_ar1(y, g, lam_arr, smin_arr, chunk=chunk)
         b = jnp.zeros(batch, y.dtype)
         return DeconvResult(c, s, b, g[..., None], lam_arr, smin_arr)
 
@@ -169,7 +349,7 @@ def foopsi_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
 
     def step(carry, _):
         b, c, s = carry
-        c, s = oasis_ar1(y - b[..., None], g, lam_arr, smin_arr)
+        c, s = oasis_ar1(y - b[..., None], g, lam_arr, smin_arr, chunk=chunk)
         b = jnp.mean(y - c, axis=-1)
         return (b, c, s), None
 
@@ -180,7 +360,7 @@ def foopsi_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
 
 def constrained_ar1(y: jnp.ndarray, g: jnp.ndarray,
                     sn: Optional[jnp.ndarray] = None, optimize_b: bool = True,
-                    n_bisect: int = 20) -> DeconvResult:
+                    n_bisect: int = 20, chunk: int = 128) -> DeconvResult:
     """Noise-constrained deconvolution: find lambda so RSS ~= sn^2 * T
     (reference: ``constrained_oasisAR1.m:83-113``).
 
@@ -199,7 +379,7 @@ def constrained_ar1(y: jnp.ndarray, g: jnp.ndarray,
     b = jnp.quantile(y, 0.15, axis=-1) if optimize_b else jnp.zeros(batch, y.dtype)
 
     def rss_of(lam, b):
-        c, s = oasis_ar1(y - b[..., None], g, lam, 0.0)
+        c, s = oasis_ar1(y - b[..., None], g, lam, 0.0, chunk=chunk)
         return _rss(y - b[..., None], c), c, s
 
     # if even lam = 0 exceeds the noise budget, keep lam = 0
@@ -221,7 +401,7 @@ def constrained_ar1(y: jnp.ndarray, g: jnp.ndarray,
     (lo, hi, b), _ = jax.lax.scan(bisect_step, (lo, lam_hi0, b), None,
                                   length=n_bisect)
     lam = lo
-    c, s = oasis_ar1(y - b[..., None], g, lam, 0.0)
+    c, s = oasis_ar1(y - b[..., None], g, lam, 0.0, chunk=chunk)
     # traces whose lam=0 solution already exceeds the noise floor keep lam=0
     done0 = rss0 >= thresh
     c = jnp.where(done0[..., None], c0, c)
@@ -233,7 +413,8 @@ def constrained_ar1(y: jnp.ndarray, g: jnp.ndarray,
 def thresholded_ar1(y: jnp.ndarray, g: jnp.ndarray,
                     sn: Optional[jnp.ndarray] = None,
                     optimize_b: bool = True, thresh_factor: float = 1.0,
-                    p_noise: float = 0.9999, n_search: int = 10) -> DeconvResult:
+                    p_noise: float = 0.9999, n_search: int = 10,
+                    chunk: int = 128) -> DeconvResult:
     """Hard-threshold (smin) deconvolution (reference:
     ``thresholded_oasisAR1.m:79-140``): start from the statistically chosen
     smin = choose_smin(g, sn, p_noise), then scale smin by bisection so the
@@ -250,7 +431,7 @@ def thresholded_ar1(y: jnp.ndarray, g: jnp.ndarray,
     b = jnp.quantile(y, 0.15, axis=-1) if optimize_b else jnp.zeros(batch, y.dtype)
 
     def run(smin, b):
-        c, s = oasis_ar1(y - b[..., None], g1, 0.0, smin)
+        c, s = oasis_ar1(y - b[..., None], g1, 0.0, smin, chunk=chunk)
         return _rss(y - b[..., None], c), c, s
 
     # bisection on a multiplier of smin0 in [0.5, 8]
@@ -269,7 +450,7 @@ def thresholded_ar1(y: jnp.ndarray, g: jnp.ndarray,
     hi = jnp.full(batch, 8.0, y.dtype)
     (lo, hi, b), _ = jax.lax.scan(step, (lo, hi, b), None, length=n_search)
     smin = lo * smin0
-    c, s = oasis_ar1(y - b[..., None], g1, 0.0, smin)
+    c, s = oasis_ar1(y - b[..., None], g1, 0.0, smin, chunk=chunk)
     return DeconvResult(c, s, b, g1[..., None], jnp.zeros(batch, y.dtype), smin)
 
 
@@ -302,14 +483,16 @@ def deconvolve(y: jnp.ndarray, params: DeconvParams,
     if params.model != "ar1":
         raise NotImplementedError(f"model {params.model!r}")
 
+    ck = params.fast_chunk
     if params.method == "foopsi":
         return foopsi_ar1(y, g, lam=params.lam, smin=params.smin, sn=sn,
                           optimize_b=params.optimize_b,
-                          max_iter=params.max_iter)
+                          max_iter=params.max_iter, chunk=ck)
     if params.method == "constrained":
-        return constrained_ar1(y, g, sn=sn, optimize_b=params.optimize_b)
+        return constrained_ar1(y, g, sn=sn, optimize_b=params.optimize_b,
+                               chunk=ck)
     if params.method == "thresholded":
         return thresholded_ar1(y, g, sn=sn, optimize_b=params.optimize_b,
                                thresh_factor=params.thresh_factor,
-                               p_noise=params.p_noise)
+                               p_noise=params.p_noise, chunk=ck)
     raise ValueError(f"unknown method {params.method!r}")

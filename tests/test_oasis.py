@@ -18,6 +18,25 @@ def test_oasis_matches_oracle(rng):
                                    err_msg=f"lam={lam} smin={smin}")
 
 
+def test_oasis_divide_and_conquer_matches_sequential(rng):
+    """The chunked fast path must agree with the sequential event loop (it
+    is exact for smin=0 by PAVA confluence, and numerically identical in
+    the realistic noise-proportional smin regime)."""
+    g = 0.93
+    y, _, _ = ar1_trace(rng, 1024, g=g, sn=0.25, rate=0.03)
+    # smin = 0: exact agreement (convex problem, confluent merging)
+    c_ref, _ = oasis_ar1(jnp.asarray(y, jnp.float32), g, 0.1, 0.0, chunk=0)
+    c_dc, _ = oasis_ar1(jnp.asarray(y, jnp.float32), g, 0.1, 0.0, chunk=128)
+    np.testing.assert_allclose(np.asarray(c_dc), np.asarray(c_ref),
+                               atol=2e-3)
+    # smin > 0: greedy order-dependence allows isolated differences, but
+    # the solutions stay near-identical in correlation
+    c_ref, _ = oasis_ar1(jnp.asarray(y, jnp.float32), g, 0.0, 0.6, chunk=0)
+    c_dc, _ = oasis_ar1(jnp.asarray(y, jnp.float32), g, 0.0, 0.6, chunk=128)
+    cc = np.corrcoef(np.asarray(c_dc), np.asarray(c_ref))[0, 1]
+    assert cc > 0.995, cc
+
+
 def test_oasis_batched_equals_single(rng):
     g = 0.9
     ys = np.stack([ar1_trace(rng, 300, g=g)[0] for _ in range(5)])
