@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main():
+    from cnmf_e_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from cnmf_e_tpu.ops.ring import ring_offsets, fit_ring_weights

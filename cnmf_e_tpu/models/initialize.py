@@ -186,6 +186,12 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
     else:
         K_max = state.K_max
     Y_work = jnp.asarray(Y, jnp.float32)
+    if ip.nk > 1:
+        # slow-trend removal before seeding (initComponents_parallel.m:341-346)
+        from cnmf_e_tpu.ops.detrend import detrend
+        Y_work = jnp.moveaxis(
+            detrend(jnp.moveaxis(Y_work, 0, -1), ip.nk, ip.detrend_method),
+            -1, 0)
 
     HY = filter_movie(Y_work, psf)
     HY = HY - jnp.median(HY, axis=0, keepdims=True)

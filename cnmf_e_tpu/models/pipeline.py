@@ -49,12 +49,23 @@ class CNMFE:
         return noise_psd(jnp.moveaxis(Y[:cap], 0, -1))
 
     # ------------------------------------------------------------------ #
-    def fit(self, Y, n_outer: int = 2, verbose: bool = False
-            ) -> CNMFEState:
-        """Run the full pipeline on an in-memory movie Y (T, H, W)."""
+    def fit(self, Y, n_outer: int = 2, verbose: bool = False,
+            run_log=None) -> CNMFEState:
+        """Run the full pipeline on an in-memory movie Y (T, H, W).
+
+        ``run_log``: optional :class:`cnmf_e_tpu.checkpoint.RunLog` —
+        stage snapshots + timestamped logs (the reference's LOGS_<date>
+        system, ``initComponents_parallel.m:43-158``).
+        """
         p = self.params
         Y = jnp.asarray(Y, jnp.float32)
-        log = self._log(verbose)
+        _print = self._log(verbose)
+        if run_log is not None:
+            def log(msg):
+                _print(msg)
+                run_log.log(msg)
+        else:
+            log = _print
         t0 = time.time()
 
         sn_pix = self.estimate_pixel_noise(Y)
@@ -68,6 +79,8 @@ class CNMFE:
 
         state, nm = merge_neurons(state, p, "dist_corr")
         log(f"merge(dist_corr): {nm} clusters")
+        if run_log is not None:
+            run_log.snapshot("init", state)
 
         # --- background ------------------------------------------------- #
         state = update_background(Y, state, p, sn_pix=sn_pix)
@@ -123,6 +136,8 @@ class CNMFE:
         state = compact(state)
         log(f"done: {int(state.n_active())} neurons "
             f"({time.time() - t0:.1f}s)")
+        if run_log is not None:
+            run_log.snapshot("final", state)
         self.state = state
         return state
 
