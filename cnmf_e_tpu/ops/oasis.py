@@ -484,6 +484,16 @@ def deconvolve(y: jnp.ndarray, params: DeconvParams,
         raise NotImplementedError(f"model {params.model!r}")
 
     ck = params.fast_chunk
+    if params.method == "mcmc":
+        from cnmf_e_tpu.ops.mcmc import mcmc_spikes
+        batch = y.shape[:-1]
+        yf = y.reshape((-1, y.shape[-1]))
+        res = mcmc_spikes(yf, _g1(g, (yf.shape[0],), y.dtype),
+                          sn.reshape(-1))
+        return DeconvResult(
+            c=res.c_mean.reshape(y.shape), s=res.spike_mean.reshape(y.shape),
+            b=res.b_mean.reshape(batch), g=jnp.asarray(g),
+            lam=jnp.zeros(batch, y.dtype), smin=jnp.zeros(batch, y.dtype))
     if params.method == "foopsi":
         return foopsi_ar1(y, g, lam=params.lam, smin=params.smin, sn=sn,
                           optimize_b=params.optimize_b,
