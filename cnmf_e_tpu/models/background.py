@@ -27,7 +27,8 @@ def update_background(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
         weights, b0, _ = fit_ring_model(
             Y, A, C, radius=bp.ring_radius, W_old=state.W, sn=sn_pix,
             thresh_outlier=bp.thresh_outlier,
-            frame_cap_factor=bp.frame_cap_factor, ridge_eps=bp.ridge_eps)
+            frame_cap_factor=bp.frame_cap_factor, ridge_eps=bp.ridge_eps,
+            ssub=bp.ssub)
         return state.replace(W=weights, b0=b0)
     b, f, b0 = fit_lowrank_model(Y, A, C, rank=bp.rank, mode=bp.model)
     return state.replace(b=b, f=f, b0=b0)
@@ -42,7 +43,7 @@ def background_of(Y: jnp.ndarray, state: CNMFEState,
             return jnp.broadcast_to(state.b0[None], Y.shape)
         return reconstruct_ring_background(
             state.W, Y, state.masked_A(), state.masked_C(), state.b0,
-            radius=bp.ring_radius)
+            radius=bp.ring_radius, ssub=bp.ssub)
     if state.b is None:
         return jnp.broadcast_to(state.b0[None], Y.shape)
     return jnp.einsum("rhw,rt->thw", state.b, state.f) + state.b0[None]

@@ -99,6 +99,18 @@ def merge_candidates_dist_only(state: CNMFEState, params: CNMFEParams
     return adj
 
 
+def merge_pairs(state: CNMFEState, params: CNMFEParams,
+                pairs) -> Tuple[CNMFEState, int]:
+    """Manually merge the given (i, j) index pairs (reference:
+    ``manual_merge`` / ``manual_merge_multi_pairs``) — the automated
+    framework's replacement for the interactive flows."""
+    K = state.K_max
+    adj = np.zeros((K, K), bool)
+    for i, j in pairs:
+        adj[i, j] = adj[j, i] = True
+    return _merge_with_adjacency(state, params, adj)
+
+
 def merge_neurons(state: CNMFEState, params: CNMFEParams,
                   mode: str = "dist_corr") -> Tuple[CNMFEState, int]:
     """Cluster candidates and merge each cluster by rank-1 refit.
@@ -113,6 +125,11 @@ def merge_neurons(state: CNMFEState, params: CNMFEParams,
         adj = merge_candidates_dist_only(state, params)
     else:
         adj = merge_candidates_high_corr(state, params)
+    return _merge_with_adjacency(state, params, adj)
+
+
+def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
+                          adj: np.ndarray) -> Tuple[CNMFEState, int]:
     if not adj.any():
         return state, 0
 

@@ -161,6 +161,11 @@ class CNMFE:
     def residual(self, Y) -> jnp.ndarray:
         return jnp.asarray(Y, jnp.float32) - self.reconstruction(Y)
 
+    def compute_rss(self, Y) -> float:
+        """||Y - AC - B||_F^2 (reference: ``Sources2D.m:1358-1510``)."""
+        r = self.residual(Y)
+        return float(jnp.sum(r * r))
+
     @staticmethod
     def _log(verbose):
         if verbose:

@@ -16,7 +16,8 @@ from cnmf_e_tpu.models.state import CNMFEState
 from cnmf_e_tpu.ops.hals import hals_spatial
 from cnmf_e_tpu.ops.morphology import (connectivity_constraint,
                                        circular_constraint,
-                                       search_locations_dilate)
+                                       search_locations_dilate,
+                                       search_locations_ellipse)
 from cnmf_e_tpu.ops.nnls import nnls_pixels
 
 
@@ -31,6 +32,8 @@ def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
 
     if sp.search_method == "dilate":
         masks = search_locations_dilate(A, radius=sp.dilate_radius)
+    elif sp.search_method == "ellipse":
+        masks = search_locations_ellipse(A)
     else:
         masks = jnp.ones_like(A, dtype=bool)
     masks = masks & state.active[:, None, None]
@@ -39,10 +42,21 @@ def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
     Ad = A.reshape(K, H * W).T                      # (d, K)
     Md = masks.reshape(K, H * W).T                  # (d, K)
 
-    if sp.algorithm in ("hals", "hals_thresh"):
+    if sp.algorithm == "hals":
         Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter)
+    elif sp.algorithm == "hals_thresh":
+        # HALS then zero sub-noise weights (HALS_spatial_thresh.m)
+        Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter)
+        cnorm = jnp.sqrt(jnp.sum(C * C, axis=-1))          # (K,)
+        sn_pix = jnp.std(Yd - Ad @ C, axis=-1, keepdims=True)
+        Ad = jnp.where(Ad * cnorm[None, :] > sn_pix, Ad, 0.0)
     elif sp.algorithm == "nnls":
         Ad = nnls_pixels(C, Yd, A0=Ad, mask=Md, n_iter=20 * sp.n_iter)
+    elif sp.algorithm == "lars":
+        # noise-constrained nonneg lasso (lars_regression_noise role)
+        from cnmf_e_tpu.models.cnmf2p import lasso_noise_constrained
+        sn_pix = jnp.std(Yd - Ad @ C, axis=-1)
+        Ad = lasso_noise_constrained(C, Yd, sn_pix, Md)
     else:
         raise ValueError(f"unknown spatial algorithm {sp.algorithm!r}")
 

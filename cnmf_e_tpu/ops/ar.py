@@ -137,6 +137,18 @@ def exp2kernel(tau_d: jnp.ndarray, tau_r: jnp.ndarray, T: int) -> jnp.ndarray:
     return h / jnp.maximum(jnp.max(h, axis=-1, keepdims=True), 1e-12)
 
 
+def make_G_matrix(T: int, g: jnp.ndarray) -> jnp.ndarray:
+    """Sparse AR-difference matrix G with G c = s (reference:
+    ``utilities/make_G_matrix.m``): banded lower-triangular with 1 on the
+    diagonal and -g_j on the j-th subdiagonal. Returned dense (T, T) —
+    only used for small-T solver paths and tests."""
+    g = jnp.atleast_1d(jnp.asarray(g))
+    G = jnp.eye(T)
+    for j in range(g.shape[0]):
+        G = G + jnp.diag(jnp.full(T - j - 1, -g[j]), -j - 1)
+    return G
+
+
 def choose_smin(g: jnp.ndarray, sn: jnp.ndarray, prob: float = 0.99999) -> jnp.ndarray:
     """Minimal spike size so pure noise yields a zero solution w.p. ``prob``
     (reference: ``choose_smin.m``): smin = sn / ||h|| * norminv(prob)."""

@@ -140,3 +140,54 @@ def search_locations_dilate(A: jnp.ndarray, radius: int = 4,
     peak = jnp.max(A, axis=(-2, -1), keepdims=True)
     support = A > jnp.maximum(thr * peak, 0.0)
     return dilate(support, radius)
+
+
+def search_locations_ellipse(A: jnp.ndarray, dist: float = 3.0,
+                             min_size: float = 3.0, max_size: float = 8.0
+                             ) -> jnp.ndarray:
+    """'ellipse' search masks (``determine_search_location.m`` default):
+    per neuron, an ellipse centered at the center of mass with axes along
+    the footprint's principal components, scaled by ``dist`` and clamped to
+    [min_size, max_size]. A: (K, H, W) -> bool (K, H, W)."""
+    K, H, W = A.shape
+    yy = jnp.arange(H, dtype=A.dtype)[:, None]
+    xx = jnp.arange(W, dtype=A.dtype)[None, :]
+    mass = jnp.sum(A, axis=(1, 2)) + 1e-12
+    cy = jnp.sum(A * yy[None], axis=(1, 2)) / mass
+    cx = jnp.sum(A * xx[None], axis=(1, 2)) / mass
+    dy = yy[None] - cy[:, None, None]
+    dx = xx[None] - cx[:, None, None]
+    # weighted covariance of pixel coordinates
+    syy = jnp.sum(A * dy * dy, axis=(1, 2)) / mass
+    sxx = jnp.sum(A * dx * dx, axis=(1, 2)) / mass
+    sxy = jnp.sum(A * dx * dy, axis=(1, 2)) / mass
+    cov = jnp.stack([jnp.stack([syy, sxy], -1),
+                     jnp.stack([sxy, sxx], -1)], -2)   # (K, 2, 2)
+    evals, evecs = jnp.linalg.eigh(cov)
+    axes = jnp.clip(jnp.sqrt(jnp.maximum(evals, 1e-6)) * dist,
+                    min_size, max_size)                # (K, 2)
+    # mask: || diag(1/axes) R^T (p - c) || <= 1
+    py = evecs[..., 0, 0][:, None, None] * dy + \
+        evecs[..., 1, 0][:, None, None] * dx
+    px = evecs[..., 0, 1][:, None, None] * dy + \
+        evecs[..., 1, 1][:, None, None] * dx
+    r2 = (py / axes[:, 0, None, None]) ** 2 + \
+        (px / axes[:, 1, None, None]) ** 2
+    return r2 <= 1.0
+
+
+def threshold_components(A: jnp.ndarray, energy_frac: float = 0.99
+                         ) -> jnp.ndarray:
+    """Keep each footprint's smallest pixel set holding ``energy_frac`` of
+    its energy (reference: ``threshold_components.m``)."""
+    K = A.shape[0]
+    flat = A.reshape(K, -1)
+    order = jnp.sort(flat * flat, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(order, axis=-1)
+    total = csum[:, -1:]
+    # threshold value: energy of the last pixel kept
+    n_keep = jnp.sum(csum < energy_frac * total, axis=-1) + 1
+    thr2 = jnp.take_along_axis(order, jnp.minimum(
+        n_keep[:, None] - 1, order.shape[1] - 1), axis=-1)
+    keep = flat * flat >= thr2
+    return (flat * keep).reshape(A.shape)

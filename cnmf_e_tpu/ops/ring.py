@@ -175,7 +175,8 @@ def fit_ring_model(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
                    sn: Optional[jnp.ndarray] = None,
                    thresh_outlier: float = 10.0,
                    frame_cap_factor: int = 100,
-                   ridge_eps: float = 1e-5
+                   ridge_eps: float = 1e-5,
+                   ssub: int = 1
                    ) -> Tuple[RingWeights, jnp.ndarray, jnp.ndarray]:
     """Full ring-background fit (reference: ``fit_ring_model.m:41-127``).
 
@@ -194,27 +195,56 @@ def fit_ring_model(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
     Cc = C - Cmean[:, None]
     Bf = (Y - Ymean[None]) - jnp.einsum("khw,kt->thw", A, Cc)
 
+    # bg_ssub: fit the ring on a spatially downsampled grid
+    # (initComponents_parallel.m:206-276 builds the ring graph at bg_ssub)
+    Hs, Ws, radius_s = _ssub_geometry(H, W, radius, ssub)
+    if ssub > 1:
+        from cnmf_e_tpu.ops.filters import box_downsample
+        Bf = box_downsample(Bf, ssub=ssub)
+
     if W_old is not None and sn is not None and np.isfinite(thresh_outlier):
-        pred = apply_ring(W_old, Bf, H, W, radius, include_intercept=False)
-        clamp = Bf > pred + thresh_outlier * sn[None]
+        sn_s = sn
+        if ssub > 1:
+            from cnmf_e_tpu.ops.filters import box_downsample
+            sn_s = box_downsample(sn[None], ssub=ssub)[0]
+        pred = apply_ring(W_old, Bf, Hs, Ws, radius_s,
+                          include_intercept=False)
+        clamp = Bf > pred + thresh_outlier * sn_s[None]
         Bf = jnp.where(clamp, pred, Bf)
 
-    R = ring_offsets(radius).shape[0]
+    R = ring_offsets(radius_s).shape[0]
     nmax = frame_cap_factor * R
     if T > nmax:
         stride = int(np.ceil(T / nmax))
         Bf_fit = Bf[::stride]
     else:
         Bf_fit = Bf
-    weights = fit_ring_weights(Bf_fit, H, W, radius, ridge_eps=ridge_eps)
+    weights = fit_ring_weights(Bf_fit, Hs, Ws, radius_s,
+                               ridge_eps=ridge_eps)
     return weights, b0, Bf_fit
+
+
+def _ssub_geometry(H: int, W: int, radius: int, ssub: int):
+    if ssub <= 1:
+        return H, W, radius
+    Hs, Ws = -(-H // ssub), -(-W // ssub)
+    return Hs, Ws, max(int(round(radius / ssub)), 1)
 
 
 def reconstruct_ring_background(weights: RingWeights, Y: jnp.ndarray,
                                 A: jnp.ndarray, C: jnp.ndarray,
-                                b0: jnp.ndarray, radius: int) -> jnp.ndarray:
+                                b0: jnp.ndarray, radius: int,
+                                ssub: int = 1) -> jnp.ndarray:
     """B = W (Y - b0 - A C) + w0 + b0 (reference:
-    ``Sources2D.m:1247-1355`` reconstruct_background)."""
+    ``Sources2D.m:1247-1355`` reconstruct_background; with bg_ssub the
+    ring prediction happens on the coarse grid and upsamples bilinearly)."""
     T, H, W = Y.shape
     X = Y - b0[None] - jnp.einsum("khw,kt->thw", A, C)
-    return apply_ring(weights, X, H, W, radius) + b0[None]
+    if ssub <= 1:
+        return apply_ring(weights, X, H, W, radius) + b0[None]
+    from cnmf_e_tpu.ops.filters import box_downsample
+    Hs, Ws, radius_s = _ssub_geometry(H, W, radius, ssub)
+    Xs = box_downsample(X, ssub=ssub)
+    Bs = apply_ring(weights, Xs, Hs, Ws, radius_s)
+    B = jax.image.resize(Bs, (T, H, W), method="linear")
+    return B + b0[None]
