@@ -48,8 +48,9 @@ def probe_movie(path: str, dataset: Optional[str] = None
         arr = np.load(path, mmap_mode="r")
         return tuple(arr.shape), arr.dtype
     if ext == ".avi":
-        raise NotImplementedError(
-            "AVI requires a codec stack; convert to TIFF/HDF5 first")
+        from cnmf_e_tpu.io.avi import probe_avi
+        info = probe_avi(path)
+        return info.shape, info.dtype
     raise ValueError(f"unknown movie format {ext!r}")
 
 
@@ -69,4 +70,7 @@ def load_movie(path: str, start: int = 0, count: Optional[int] = None,
         arr = np.load(path, mmap_mode="r")
         stop = arr.shape[0] if count is None else start + count
         return np.asarray(arr[start:stop], np.float32)
+    if ext == ".avi":
+        from cnmf_e_tpu.io.avi import read_avi
+        return read_avi(path, start, count).astype(np.float32)
     raise ValueError(f"unknown movie format {ext!r}")

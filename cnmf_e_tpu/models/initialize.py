@@ -174,6 +174,36 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
     ip = params.init
     T, H, W = Y.shape
     K_max = K_max or ip.max_neurons
+
+    # ssub/tsub: initialize on the downsampled movie, then upsample the
+    # results (reference: greedyROI_endoscope.m:464-487)
+    if (ip.ssub > 1 or ip.tsub > 1) and state is None:
+        from cnmf_e_tpu.ops.filters import box_downsample
+        import dataclasses
+        Y_ds = box_downsample(jnp.asarray(Y, jnp.float32),
+                              ssub=ip.ssub, tsub=ip.tsub)
+        ip_ds = dataclasses.replace(
+            ip, ssub=1, tsub=1, gSig=max(ip.gSig / ip.ssub, 0.0),
+            gSiz=max(int(ip.gSiz // ip.ssub), 3))
+        p_ds = params.replace(init=ip_ds)
+        st_ds, info = initialize_greedy(Y_ds, p_ds, K_max=K_max,
+                                        min_corr=min_corr, min_pnr=min_pnr,
+                                        verbose=verbose)
+        K_cap = st_ds.K_max
+        A_full = jax.image.resize(st_ds.A, (K_cap, H, W), method="linear")
+        C_full = jax.image.resize(st_ds.C_raw, (K_cap, T), method="linear")
+        st = empty_state(K_cap, H, W, T)
+        st = st.replace(A=A_full, C=jnp.maximum(C_full, 0.0),
+                        C_raw=C_full, active=st_ds.active, g=st_ds.g,
+                        neuron_sn=st_ds.neuron_sn)
+        # refine traces at full rate with one deconvolution pass
+        if ip.deconv_at_init and params.temporal.deconv.enabled:
+            dres = deconvolve(st.C_raw, params.temporal.deconv)
+            act = st.active[:, None]
+            st = st.replace(C=jnp.where(act, dres.c, 0.0),
+                            S=jnp.where(act, dres.s, 0.0))
+        return st, info
+
     gSiz = int(ip.gSiz)
     psf = gaussian_psf(ip.gSig, ip.center_psf)
     if min_corr is None:

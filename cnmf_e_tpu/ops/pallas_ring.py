@@ -3,12 +3,15 @@
 ``apply_ring`` computes, for every pixel, a weighted sum over ~R = O(2*pi*r)
 ring neighbors:  out[t, h, w] = sum_r  wgt[h, w, r] * x[t, h+dy_r, w+dx_r].
 The XLA fallback materializes R shifted slices of the movie; this kernel
-keeps one (TB, HT+2m, W+2m) input tile resident in VMEM and accumulates all
-R taps on the VPU — one HBM read of the movie instead of R.
+keeps one input tile resident in VMEM and accumulates all R taps on the VPU
+— one HBM read of the movie instead of R.
 
-Layout: grid (T/TB, H/HT); the padded movie stays in ANY/HBM and each
-program DMAs its tile (with halo) into VMEM scratch; per-pixel weights are
-block-mapped by row tile.
+Key Mosaic consideration: slices at arbitrary offsets along the *tiled*
+(last two) dims force vector relayouts whose compile time explodes with the
+tap count. So the kernel runs in a TRANSPOSED layout, (H, W, T): time sits
+on the (aligned) lane axis, the row offset dy lands on the untiled outer
+axis (free), and taps are grouped by column offset dx so only ~2m+1 sublane
+shifts remain instead of R.
 """
 
 from __future__ import annotations
@@ -25,24 +28,29 @@ from jax.experimental.pallas import tpu as pltpu
 from cnmf_e_tpu.ops.ring import RingWeights, ring_offsets
 
 
-def _ring_kernel(offsets, TB, HT, W, mr, mc):
-    R = offsets.shape[0]
+def _ring_kernel_T(offsets, HT, W, TB, mr, mc):
+    """Kernel in (H, W, T) layout. x_tile: (HT+2mr, W+2mc, TB)."""
+    # group taps by dx so each distinct column shift is sliced once
+    by_dx = {}
+    for r, (dy, dx) in enumerate(offsets):
+        by_dx.setdefault(int(dx), []).append((int(dy), r))
 
     def kernel(x_hbm, wgt_ref, w0_ref, out_ref, x_tile, sem):
-        t = pl.program_id(0)
-        h = pl.program_id(1)
+        h = pl.program_id(0)
+        t = pl.program_id(1)
         copy = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(t * TB, TB), pl.ds(h * HT, HT + 2 * mr), :],
+            x_hbm.at[pl.ds(h * HT, HT + 2 * mr), :, pl.ds(t * TB, TB)],
             x_tile, sem)
         copy.start()
         copy.wait()
 
-        acc = jnp.zeros((TB, HT, W), jnp.float32)
-        for r in range(R):
-            dy, dx = int(offsets[r, 0]), int(offsets[r, 1])
-            tap = x_tile[:, mr + dy:mr + dy + HT, mc + dx:mc + dx + W]
-            acc = acc + wgt_ref[:, :, r][None] * tap
-        out_ref[:, :, :] = acc + w0_ref[:, :][None]
+        acc = jnp.zeros((HT, W, TB), jnp.float32)
+        for dx, taps in sorted(by_dx.items()):
+            slab = x_tile[:, mc + dx:mc + dx + W, :]   # one sublane shift
+            for dy, r in taps:
+                tap = slab[mr + dy:mr + dy + HT]        # outer-dim slice
+                acc = acc + wgt_ref[r][:, :, None] * tap
+        out_ref[:, :, :] = acc + w0_ref[:, :][:, :, None]
 
     return kernel
 
@@ -54,48 +62,49 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
     """Pallas ring apply. X: (T, H, W) -> (T, H, W) (includes intercept)."""
     offsets = ring_offsets(radius)
     m = int(np.abs(offsets).max())
-    # align the halo so DMA tile shapes respect the (8, 128) f32 tiling:
-    # rows: tile height HT + 2*mr must be a multiple of 8;
-    # cols: tile width W + 2*mc must be a multiple of 128
-    mr = -(-m // 4) * 4
-    mc = -(-m // 64) * 64
+    # alignment: in (H, W, T) layout the tiled dims are (W+2mc, T-block).
+    # DMA slice shapes must align to (8, 128): keep W+2mc a multiple of 8
+    # and always move full 128-frame lane blocks; rows (dim 0) are untiled.
+    mc = -(-m // 4) * 4
+    mr = m
     T = X.shape[0]
+    TB = 128
+    T_pad = -(-T // TB) * TB
 
-    # tile sizes: keep the input tile + accumulator within VMEM
-    TB = 8
-    while T % TB:
-        TB //= 2
-    HT = 32
+    HT = 8
     while H % HT:
         HT //= 2
-    assert TB >= 1 and HT >= 1
+    assert HT >= 1
 
-    Xpad = jnp.pad(X, ((0, 0), (mr, mr), (mc, mc)))
-    wgt = weights.w.reshape(H, W, -1)
+    Xt = jnp.moveaxis(X, 0, -1)                       # (H, W, T)
+    Xpad = jnp.pad(Xt, ((mr, mr), (mc, mc), (0, T_pad - T)))
+    # weights laid out (R, H, W): the per-tap index r lands on the untiled
+    # leading axis (a lane-dim index would need 128-aligned slicing)
+    wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
     w0 = weights.w0.reshape(H, W)
 
-    grid = (T // TB, H // HT)
+    grid = (H // HT, T_pad // TB)
     out = pl.pallas_call(
-        _ring_kernel(offsets, TB, HT, W, mr, mc),
+        _ring_kernel_T(offsets, HT, W, TB, mr, mc),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((HT, W, offsets.shape[0]),
-                         lambda t, h: (h, 0, 0),
+            pl.BlockSpec((offsets.shape[0], HT, W),
+                         lambda h, t: (0, h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HT, W), lambda t, h: (h, 0),
+            pl.BlockSpec((HT, W), lambda h, t: (h, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, HT, W), lambda t, h: (t, h, 0),
+        out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TB, HT + 2 * mr, W + 2 * mc), jnp.float32),
+            pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(Xpad, wgt, w0)
-    return out
+    return jnp.moveaxis(out[:, :, :T], -1, 0)
 
 
 def ring_apply_auto(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
@@ -106,7 +115,7 @@ def ring_apply_auto(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
     from cnmf_e_tpu.ops.ring import apply_ring
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    lanes_ok = (W % 128 == 0) and (H % 8 == 0) and (X.shape[0] % 2 == 0)
+    lanes_ok = (W % 128 == 0) and (H % 8 == 0) and (X.shape[0] % 8 == 0)
     if on_tpu and lanes_ok and include_intercept:
         return apply_ring_pallas(weights, X, H, W, radius)
     return apply_ring(weights, X, H, W, radius,

@@ -51,3 +51,20 @@ def test_initialize_greedy_finds_neurons():
     assert f1["precision"] >= 0.7, f1
     corrs = trace_corr(np.asarray(state.C_raw), gt.C, f1["matches"])
     assert np.median(corrs) > 0.9, corrs
+
+
+def test_initialize_with_downsampling():
+    gt = simulate_movie(seed=9, H=64, W=64, T=400, K=8, gSig=3.0,
+                        sn=0.06, bg_strength=0.5, min_dist=14.0,
+                        spike_rate=0.05)
+    params = CNMFEParams(
+        init=InitParams(gSig=3.0, gSiz=10, min_corr=0.75, min_pnr=7.0,
+                        max_neurons=32, seeds_per_round=16, max_rounds=5,
+                        ssub=2, tsub=2))
+    state, info = initialize_greedy(jnp.asarray(gt.Y), params)
+    n = int(state.n_active())
+    assert n >= 6, n
+    assert state.A.shape[1:] == (64, 64)
+    assert state.C.shape[-1] == 400
+    f1 = detection_f1(np.asarray(state.masked_A())[:n], gt.A)
+    assert f1["recall"] >= 0.7, f1

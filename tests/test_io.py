@@ -74,3 +74,14 @@ def test_export_roundtrip(tmp_path):
     import scipy.io
     mat = scipy.io.loadmat(mp)
     assert mat["A"].shape == (256, 3)
+
+
+def test_avi_roundtrip(tmp_path, rng):
+    from cnmf_e_tpu.io.avi import read_avi, write_avi
+    movie = (rng.random((5, 24, 31)) * 255).astype(np.uint8)
+    p = str(tmp_path / "m.avi")
+    write_avi(p, movie)
+    assert probe_movie(p)[0] == (5, 24, 31)
+    back = read_avi(p)
+    np.testing.assert_array_equal(back, movie)
+    np.testing.assert_allclose(load_movie(p, 1, 2), movie[1:3])
