@@ -454,6 +454,65 @@ def thresholded_ar1(y: jnp.ndarray, g: jnp.ndarray,
     return DeconvResult(c, s, b, g1[..., None], jnp.zeros(batch, y.dtype), smin)
 
 
+def optimize_g(y: jnp.ndarray, g0: jnp.ndarray, lam=0.0, smin=0.0,
+               sn: Optional[jnp.ndarray] = None,
+               g_range: Tuple[float, float] = (0.5, 0.99),
+               n_iter: int = 12, chunk: int = 128
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Optimize the AR(1) coefficient per trace by golden-section search on
+    the deconvolution RSS (reference: ``update_g`` inside
+    ``foopsi_oasisAR1.m:120-179`` — there a pool-preserving fminbnd; here a
+    batched bracket search with full OASIS re-solves, fixed iterations).
+
+    Returns (g, c, s).
+    """
+    y = jnp.asarray(y)
+    batch = y.shape[:-1]
+    smin_arr = jnp.broadcast_to(jnp.asarray(smin, y.dtype), batch)
+    if sn is not None:
+        smin_arr = jnp.where(smin_arr < 0, jnp.abs(smin_arr) * sn, smin_arr)
+
+    phi = 0.6180339887498949
+
+    def rss_at(g):
+        c, _ = oasis_ar1(y, g, lam, smin_arr, chunk=chunk)
+        return jnp.sum((y - c) ** 2, axis=-1)
+
+    # RSS(g) has kinks/local minima when smin > 0: coarse grid scan first,
+    # then golden-section refine inside the best bracket
+    n_grid = 13
+    grid = jnp.linspace(g_range[0], g_range[1], n_grid)
+
+    def eval_grid(carry, gv):
+        return carry, rss_at(jnp.broadcast_to(gv, batch))
+
+    _, rss_grid = jax.lax.scan(eval_grid, None, grid)      # (n_grid, ...)
+    best = jnp.argmin(rss_grid, axis=0)
+    step = (g_range[1] - g_range[0]) / (n_grid - 1)
+    lo = jnp.maximum(grid[0] + (best - 1) * step, g_range[0]).astype(y.dtype)
+    hi = jnp.minimum(grid[0] + (best + 1) * step, g_range[1]).astype(y.dtype)
+    x1 = hi - phi * (hi - lo)
+    x2 = lo + phi * (hi - lo)
+    f1, f2 = rss_at(x1), rss_at(x2)
+
+    def body(carry, _):
+        lo, hi, x1, x2, f1, f2 = carry
+        go_left = f1 < f2
+        hi = jnp.where(go_left, x2, hi)
+        lo = jnp.where(go_left, lo, x1)
+        x1n = hi - phi * (hi - lo)
+        x2n = lo + phi * (hi - lo)
+        f1n = rss_at(x1n)
+        f2n = rss_at(x2n)
+        return (lo, hi, x1n, x2n, f1n, f2n), None
+
+    (lo, hi, x1, x2, f1, f2), _ = jax.lax.scan(
+        body, (lo, hi, x1, x2, f1, f2), None, length=n_iter)
+    g = 0.5 * (lo + hi)
+    c, s = oasis_ar1(y, g, lam, smin_arr, chunk=chunk)
+    return g, c, s
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def deconvolve(y: jnp.ndarray, params: DeconvParams,
                sn: Optional[jnp.ndarray] = None,

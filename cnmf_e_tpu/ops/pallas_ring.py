@@ -38,8 +38,11 @@ def _ring_kernel_T(offsets, HT, W, TB, mr, mc):
     def kernel(x_hbm, wgt_ref, w0_ref, out_ref, x_tile, sem):
         h = pl.program_id(0)
         t = pl.program_id(1)
+        # x_hbm is pre-blocked (n_tb, Hp, Wp, TB): a scalar t index + one
+        # row dynamic-slice keeps the DMA from materializing a full-T
+        # intermediate (two ds dims made Mosaic stage a (rows, Wp, T) copy)
         copy = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(h * HT, HT + 2 * mr), :, pl.ds(t * TB, TB)],
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :],
             x_tile, sem)
         copy.start()
         copy.wait()
@@ -78,6 +81,10 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
 
     Xt = jnp.moveaxis(X, 0, -1)                       # (H, W, T)
     Xpad = jnp.pad(Xt, ((mr, mr), (mc, mc), (0, T_pad - T)))
+    # pre-block time: (n_tb, Hp, Wp, TB)
+    Hp, Wp = H + 2 * mr, W + 2 * mc
+    Xpad = jnp.moveaxis(
+        Xpad.reshape(Hp, Wp, T_pad // TB, TB), 2, 0)
     # weights laid out (R, H, W): the per-tap index r lands on the untiled
     # leading axis (a lane-dim index would need 128-aligned slicing)
     wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)

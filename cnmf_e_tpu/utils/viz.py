@@ -73,6 +73,43 @@ def plot_summary(path: str, Cn: np.ndarray, A: np.ndarray,
     return path
 
 
+def save_neuron_panels(out_dir: str, A: np.ndarray, C: np.ndarray,
+                       C_raw: Optional[np.ndarray] = None,
+                       S: Optional[np.ndarray] = None,
+                       fs: float = 10.0, max_neurons: int = 200) -> int:
+    """One PNG per neuron: footprint + traces (+spikes) — the headless
+    equivalent of ``viewNeurons`` / ``save_neurons``
+    (``Sources2D.m:482-502``; the reference writes the same panels into
+    LOGS_*/neurons/). Returns the number of files written."""
+    import os
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    K = min(A.shape[0], max_neurons)
+    t = np.arange(C.shape[1]) / fs
+    for k in range(K):
+        fig, (ax1, ax2) = plt.subplots(
+            1, 2, figsize=(10, 3), width_ratios=[1, 3])
+        ax1.imshow(A[k], cmap="hot")
+        ax1.set_title(f"neuron {k}")
+        ax1.axis("off")
+        if C_raw is not None:
+            ax2.plot(t, C_raw[k], color="0.7", lw=0.6, label="raw")
+        ax2.plot(t, C[k], color="tab:red", lw=0.9, label="denoised")
+        if S is not None and S[k].max() > 0:
+            sk = S[k] / S[k].max() * C[k].max() * 0.3
+            ax2.vlines(t[S[k] > 0], -C[k].max() * 0.35, -C[k].max() * 0.05,
+                       color="tab:blue", lw=0.5, label="spikes")
+        ax2.set_xlabel("time (s)")
+        ax2.legend(loc="upper right", fontsize=7)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"neuron_{k:04d}.png"), dpi=100)
+        plt.close(fig)
+    return K
+
+
 def export_demixed_video(path: str, Y: np.ndarray, B: np.ndarray,
                          A: np.ndarray, C: np.ndarray,
                          stride: int = 1) -> str:

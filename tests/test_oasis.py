@@ -139,3 +139,13 @@ def test_deconvolve_dispatch(rng):
         assert c.shape == yb.shape
         corr = np.corrcoef(c[0], c_true)[0, 1]
         assert corr > 0.9, (method, corr)
+
+
+def test_optimize_g_recovers_coefficient(rng):
+    from cnmf_e_tpu.ops.oasis import optimize_g
+    g_true = 0.9
+    ys = np.stack([ar1_trace(rng, 1500, g=g_true, sn=0.15, rate=0.04)[0]
+                   for _ in range(3)])
+    g, c, s = optimize_g(jnp.asarray(ys, jnp.float32),
+                         jnp.full((3,), 0.7), smin=0.4)
+    np.testing.assert_allclose(np.asarray(g), g_true, atol=0.05)
