@@ -58,7 +58,8 @@ class CNMFE:
         system, ``initComponents_parallel.m:43-158``).
         """
         p = self.params
-        Y = jnp.asarray(Y, jnp.float32)
+        # NaN scrubbing at the boundary (greedyROI_endoscope.m:100)
+        Y = jnp.nan_to_num(jnp.asarray(Y, jnp.float32))
         _print = self._log(verbose)
         if run_log is not None:
             def log(msg):

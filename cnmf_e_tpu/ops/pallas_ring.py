@@ -35,7 +35,7 @@ def _ring_kernel_T(offsets, HT, W, TB, mr, mc):
     for r, (dy, dx) in enumerate(offsets):
         by_dx.setdefault(int(dx), []).append((int(dy), r))
 
-    def kernel(x_hbm, wgt_ref, w0_ref, out_ref, x_tile, sem):
+    def kernel(x_hbm, wgt_ref, w0_ref, out_ref, x_tile, acc_ref, sem):
         h = pl.program_id(0)
         t = pl.program_id(1)
         # x_hbm is pre-blocked (n_tb, Hp, Wp, TB): a scalar t index + one
@@ -47,13 +47,18 @@ def _ring_kernel_T(offsets, HT, W, TB, mr, mc):
         copy.start()
         copy.wait()
 
-        acc = jnp.zeros((HT, W, TB), jnp.float32)
+        # accumulate in-place through a VMEM scratch ref: a pure-value
+        # reduction keeps all R unrolled tap temporaries live at once
+        # (~R x tile bytes of scoped vmem -> OOM)
+        acc_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
+                                            (HT, W, TB))
         for dx, taps in sorted(by_dx.items()):
             slab = x_tile[:, mc + dx:mc + dx + W, :]   # one sublane shift
             for dy, r in taps:
                 tap = slab[mr + dy:mr + dy + HT]        # outer-dim slice
-                acc = acc + wgt_ref[r][:, :, None] * tap
-        out_ref[:, :, :] = acc + w0_ref[:, :][:, :, None]
+                acc_ref[:, :, :] = acc_ref[:, :, :] + \
+                    wgt_ref[r][:, :, None] * tap
+        out_ref[:, :, :] = acc_ref[:, :, :]
 
     return kernel
 
@@ -95,7 +100,9 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
         _ring_kernel_T(offsets, HT, W, TB, mr, mc),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # the movie must stay in HBM (ANY lets the compiler pick VMEM,
+            # which OOMs as soon as the movie outgrows it)
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((offsets.shape[0], HT, W),
                          lambda h, t: (0, h, 0),
                          memory_space=pltpu.VMEM),
@@ -107,6 +114,7 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
         out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+            pltpu.VMEM((HT, W, TB), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
