@@ -21,12 +21,30 @@ Design principles (vs the MATLAB reference, see SURVEY.md):
 
 __version__ = "0.1.0"
 
-from cnmf_e_tpu.config import CNMFEParams, DeconvParams, InitParams, BackgroundParams
+from cnmf_e_tpu.config import (BackgroundParams, CNMFEParams, DeconvParams,
+                               InitParams, MergeParams, SpatialParams,
+                               TemporalParams)
+
+
+def __getattr__(name):
+    # lazy imports keep `import cnmf_e_tpu` light (no jax compile at import)
+    if name == "CNMFE":
+        from cnmf_e_tpu.models.pipeline import CNMFE
+        return CNMFE
+    if name == "CNMF":
+        from cnmf_e_tpu.models.cnmf2p import CNMF
+        return CNMF
+    if name == "fit_batches":
+        from cnmf_e_tpu.models.batch import fit_batches
+        return fit_batches
+    if name == "fit_streaming":
+        from cnmf_e_tpu.models.streaming import fit_streaming
+        return fit_streaming
+    raise AttributeError(name)
+
 
 __all__ = [
-    "CNMFEParams",
-    "DeconvParams",
-    "InitParams",
-    "BackgroundParams",
-    "__version__",
+    "CNMFEParams", "DeconvParams", "InitParams", "BackgroundParams",
+    "MergeParams", "SpatialParams", "TemporalParams",
+    "CNMFE", "CNMF", "fit_batches", "fit_streaming", "__version__",
 ]

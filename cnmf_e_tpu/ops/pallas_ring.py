@@ -28,14 +28,18 @@ from jax.experimental.pallas import tpu as pltpu
 from cnmf_e_tpu.ops.ring import RingWeights, ring_offsets
 
 
-def _ring_kernel_T(offsets, HT, W, TB, mr, mc):
-    """Kernel in (H, W, T) layout. x_tile: (HT+2mr, W+2mc, TB)."""
-    # group taps by dx so each distinct column shift is sliced once
-    by_dx = {}
-    for r, (dy, dx) in enumerate(offsets):
-        by_dx.setdefault(int(dx), []).append((int(dy), r))
+def _ring_kernel_T(R, HT, W, TB, mr, mc):
+    """Kernel in (H, W, T) layout. x_tile: (HT+2mr, W+2mc, TB).
 
-    def kernel(x_hbm, wgt_ref, w0_ref, out_ref, x_tile, acc_ref, sem):
+    The tap loop is ROLLED (``fori_loop`` with the offsets read from SMEM):
+    an unrolled loop keeps ~R out-tile-sized temporaries live and blows the
+    scoped-VMEM budget (R ~ 92 -> ~95 MB). Row offsets land on the untiled
+    outer axis (free dynamic slice); column offsets are one dynamic sublane
+    slice per tap.
+    """
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
         h = pl.program_id(0)
         t = pl.program_id(1)
         # x_hbm is pre-blocked (n_tb, Hp, Wp, TB): a scalar t index + one
@@ -47,18 +51,18 @@ def _ring_kernel_T(offsets, HT, W, TB, mr, mc):
         copy.start()
         copy.wait()
 
-        # accumulate in-place through a VMEM scratch ref: a pure-value
-        # reduction keeps all R unrolled tap temporaries live at once
-        # (~R x tile bytes of scoped vmem -> OOM)
-        acc_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
                                             (HT, W, TB))
-        for dx, taps in sorted(by_dx.items()):
-            slab = x_tile[:, mc + dx:mc + dx + W, :]   # one sublane shift
-            for dy, r in taps:
-                tap = slab[mr + dy:mr + dy + HT]        # outer-dim slice
-                acc_ref[:, :, :] = acc_ref[:, :, :] + \
-                    wgt_ref[r][:, :, None] * tap
-        out_ref[:, :, :] = acc_ref[:, :, :]
+
+        def body(r, _):
+            dy = dy_ref[r]
+            dx = dx_ref[r]
+            tap = x_tile[pl.ds(mr + dy, HT), pl.ds(mc + dx, W), :]
+            out_ref[:, :, :] = out_ref[:, :, :] + \
+                wgt_ref[r][:, :, None] * tap
+            return 0
+
+        jax.lax.fori_loop(0, R, body, 0)
 
     return kernel
 
@@ -95,11 +99,16 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
     wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
     w0 = weights.w0.reshape(H, W)
 
+    dy = jnp.asarray(offsets[:, 0], jnp.int32)
+    dx = jnp.asarray(offsets[:, 1], jnp.int32)
+
     grid = (H // HT, T_pad // TB)
     out = pl.pallas_call(
-        _ring_kernel_T(offsets, HT, W, TB, mr, mc),
+        _ring_kernel_T(int(offsets.shape[0]), HT, W, TB, mr, mc),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             # the movie must stay in HBM (ANY lets the compiler pick VMEM,
             # which OOMs as soon as the movie outgrows it)
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -114,11 +123,10 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
         out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
-            pltpu.VMEM((HT, W, TB), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(Xpad, wgt, w0)
+    )(dy, dx, Xpad, wgt, w0)
     return jnp.moveaxis(out[:, :, :T], -1, 0)
 
 
