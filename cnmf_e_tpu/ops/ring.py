@@ -241,7 +241,8 @@ def reconstruct_ring_background(weights: RingWeights, Y: jnp.ndarray,
     T, H, W = Y.shape
     X = Y - b0[None] - jnp.einsum("khw,kt->thw", A, C)
     if ssub <= 1:
-        return apply_ring(weights, X, H, W, radius) + b0[None]
+        from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
+        return ring_apply_auto(weights, X, H, W, radius) + b0[None]
     from cnmf_e_tpu.ops.filters import box_downsample
     Hs, Ws, radius_s = _ssub_geometry(H, W, radius, ssub)
     Xs = box_downsample(X, ssub=ssub)

@@ -64,7 +64,13 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
         # ---- background subtraction (ring stencil over 'patch') -------- #
         weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
         X = Y - st.b0[None] - jnp.einsum("khw,kt->thw", A, C)
-        B = apply_ring(weights, X, H, W, radius) + st.b0[None]
+        if mesh is None:
+            # single device: Pallas stencil kernel when tiling allows
+            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
+            B = ring_apply_auto(weights, X, H, W, radius) + st.b0[None]
+        else:
+            # mesh: XLA shift form partitions with automatic halo exchange
+            B = apply_ring(weights, X, H, W, radius) + st.b0[None]
         Ysig = Y - B
 
         # ---- factor updates (Gram psums over sharded axes) ------------- #
