@@ -539,6 +539,16 @@ def deconvolve(y: jnp.ndarray, params: DeconvParams,
     if params.model == "ar2" or params.model == "exp2":
         from cnmf_e_tpu.ops.onnls import onnls_deconvolve
         return onnls_deconvolve(y, g, sn, params)
+    if params.model == "kernel":
+        # arbitrary kernel: project onto the best difference-of-exponentials
+        # and solve with the windowed NNLS (onnls.py::fit_exp2_to_kernel)
+        from cnmf_e_tpu.ops.onnls import fit_exp2_to_kernel, onnls_deconvolve
+        from cnmf_e_tpu.ops.ar import exp2ar
+        assert g is not None, "kernel model requires the kernel via g"
+        d, r = fit_exp2_to_kernel(jnp.asarray(g).reshape(-1))
+        batch = y.shape[:-1]
+        g2 = jnp.broadcast_to(exp2ar(d, r), batch + (2,))
+        return onnls_deconvolve(y, g2, sn, params)
     if params.model != "ar1":
         raise NotImplementedError(f"model {params.model!r}")
 

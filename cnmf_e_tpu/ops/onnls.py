@@ -114,6 +114,31 @@ def onnls(y: jnp.ndarray, d: jnp.ndarray, r: jnp.ndarray, win: int = 200,
     return c, s
 
 
+def fit_exp2_to_kernel(h: jnp.ndarray, n_grid: int = 40
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit (d, r) of a difference-of-exponentials to an arbitrary kernel by
+    grid search on the normalized L2 error (reference 'kernel' model via
+    ``create_kernel``/``dsKernel``; here the kernel routes through the
+    exp2 solver after this projection)."""
+    h = jnp.asarray(h, jnp.float32)
+    L = h.shape[-1]
+    t = jnp.arange(L, dtype=jnp.float32)
+    ds = jnp.linspace(0.5, 0.995, n_grid)
+    rs = jnp.linspace(0.01, 0.9, n_grid)
+    dd, rr = jnp.meshgrid(ds, rs, indexing="ij")
+    denom = jnp.maximum(dd - rr, 1e-4)
+    basis = (dd[..., None] ** (t + 1) - rr[..., None] ** (t + 1)) \
+        / denom[..., None]                          # (n, n, L)
+    # optimal scale per candidate, then residual
+    hb = jnp.einsum("ijl,l->ij", basis, h)
+    bb = jnp.sum(basis * basis, axis=-1)
+    scale = hb / jnp.maximum(bb, 1e-12)
+    err = jnp.sum(h * h) - scale * hb
+    err = jnp.where(dd > rr, err, jnp.inf)
+    idx = jnp.argmin(err)
+    return dd.reshape(-1)[idx], rr.reshape(-1)[idx]
+
+
 def onnls_deconvolve(y: jnp.ndarray, g: jnp.ndarray, sn: jnp.ndarray,
                      params: DeconvParams):
     """AR(2)/exp2 deconvolution entry used by :func:`cnmf_e_tpu.ops.oasis.deconvolve`."""

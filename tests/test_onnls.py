@@ -51,3 +51,16 @@ def test_deconvolve_ar2_dispatch(rng):
                                   optimize_b=False))
     assert out.c.shape == ys.shape
     assert np.all(np.isfinite(np.asarray(out.c)))
+
+def test_deconvolve_kernel_model(rng):
+    from cnmf_e_tpu.ops.ar import ar_kernel
+    d, r = 0.9, 0.45
+    y, c_true, _ = _ar2_trace(rng, 500, d, r, sn=0.1, rate=0.03)
+    # hand the true impulse response as an arbitrary kernel vector
+    h = np.asarray(ar_kernel(jnp.asarray([d + r, -d * r]), 150))
+    out = deconvolve(jnp.asarray(y[None], jnp.float32),
+                     DeconvParams(model="kernel", method="foopsi",
+                                  smin=0.0, optimize_b=False),
+                     g=jnp.asarray(h))
+    corr = np.corrcoef(np.asarray(out.c[0]), c_true)[0, 1]
+    assert corr > 0.9, corr
