@@ -136,6 +136,9 @@ class TemporalParams:
     deconv: DeconvParams = field(default_factory=DeconvParams)
     # detrend knots applied to the residual traces
     denoise: bool = True
+    # suppress crosstalk spikes dominated by a spatial neighbor at the end
+    # of each temporal update (reference: decorrTemporal.m)
+    decorrelate: bool = False
 
 
 @dataclass(frozen=True)

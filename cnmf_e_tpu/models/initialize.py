@@ -49,14 +49,18 @@ def _box_slice(Mp: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray, B: int
 
 
 @functools.partial(jax.jit, static_argnames=("gSiz", "min_pixel",
-                                             "corr_thr", "bg_corr_thr"))
+                                             "corr_thr", "bg_corr_thr",
+                                             "trace_mode"))
 def extract_ac_batch(HY: jnp.ndarray, Y: jnp.ndarray, rows: jnp.ndarray,
                      cols: jnp.ndarray, gSiz: int, min_pixel: int = 5,
-                     corr_thr: float = 0.9, bg_corr_thr: float = 0.3
-                     ) -> ExtractResult:
+                     corr_thr: float = 0.9, bg_corr_thr: float = 0.3,
+                     trace_mode: str = "corr_mean") -> ExtractResult:
     """Vmapped ``extract_ac`` (reference: ``extract_ac.m:19-95``).
 
     HY/Y: (T, H, W) filtered / raw movies; rows/cols: (N,) seed centers.
+    ``trace_mode``: "corr_mean" averages the >corr_thr pixels (1p,
+    ``extract_ac.m:19-27``); "center" uses the seed pixel's trace itself
+    (2p variant, ``extract_ac_2p.m:26``).
     Out-of-FOV box pixels are zero traces: their correlation is NaN so they
     drop out of both the in-neuron and background pixel sets, matching the
     reference's shrunken boundary boxes.
@@ -79,8 +83,11 @@ def extract_ac_batch(HY: jnp.ndarray, Y: jnp.ndarray, rows: jnp.ndarray,
 
         in_mask = corr > corr_thr
         n_in = jnp.sum(in_mask)
-        ci = jnp.sum(jnp.where(in_mask[None], hy, 0.0), axis=1) / \
-            jnp.maximum(n_in, 1)
+        if trace_mode == "center":
+            ci = y0
+        else:
+            ci = jnp.sum(jnp.where(in_mask[None], hy, 0.0), axis=1) / \
+                jnp.maximum(n_in, 1)
 
         bg_mask = corr < bg_corr_thr
         y_bg = jnp.nanmedian(jnp.where(bg_mask[None], yy, jnp.nan), axis=1)

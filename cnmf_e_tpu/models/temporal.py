@@ -56,6 +56,11 @@ def update_temporal(Ysignal: jnp.ndarray, state: CNMFEState,
         S_new = jnp.zeros_like(C_raw)
         g_new = state.g
 
+    if tp.decorrelate and tp.deconv.enabled:
+        from cnmf_e_tpu.ops.spikes import decorr_temporal
+        C_new = decorr_temporal(C_new, S_new, A, g_new, sn,
+                                gSiz=float(params.init.gSiz))
+
     act = state.active[:, None]
     return state.replace(
         C=jnp.where(act, C_new, 0.0),
