@@ -50,12 +50,15 @@ class CNMFE:
 
     # ------------------------------------------------------------------ #
     def fit(self, Y, n_outer: int = 2, verbose: bool = False,
-            run_log=None) -> CNMFEState:
+            run_log=None, resume_from: Optional[str] = None) -> CNMFEState:
         """Run the full pipeline on an in-memory movie Y (T, H, W).
 
         ``run_log``: optional :class:`cnmf_e_tpu.checkpoint.RunLog` —
         stage snapshots + timestamped logs (the reference's LOGS_<date>
         system, ``initComponents_parallel.m:43-158``).
+        ``resume_from``: path to a previous snapshot .npz — skips
+        initialization and restores A/C/S/background from it (the
+        reference's resume-from-previous-run flow, made non-interactive).
         """
         p = self.params
         # NaN scrubbing at the boundary (greedyROI_endoscope.m:100)
@@ -72,31 +75,38 @@ class CNMFE:
         sn_pix = self.estimate_pixel_noise(Y)
         log(f"pixel noise estimated ({time.time() - t0:.1f}s)")
 
-        # --- initialization -------------------------------------------- #
-        state, info = initialize_greedy(Y, p, verbose=verbose)
-        self.info.update(Cn=info["Cn"], PNR=info["PNR"])
-        log(f"init: {int(state.n_active())} neurons "
-            f"({time.time() - t0:.1f}s)")
+        if resume_from is not None:
+            from cnmf_e_tpu.checkpoint import restore_state
+            T, H, W = Y.shape
+            state = restore_state(resume_from, p.init.max_neurons, H, W, T)
+            log(f"resumed {int(state.n_active())} neurons from "
+                f"{resume_from}")
+        else:
+            # --- initialization ---------------------------------------- #
+            state, info = initialize_greedy(Y, p, verbose=verbose)
+            self.info.update(Cn=info["Cn"], PNR=info["PNR"])
+            log(f"init: {int(state.n_active())} neurons "
+                f"({time.time() - t0:.1f}s)")
 
-        state, nm = merge_neurons(state, p, "dist_corr")
-        log(f"merge(dist_corr): {nm} clusters")
-        if run_log is not None:
-            run_log.snapshot("init", state)
+            state, nm = merge_neurons(state, p, "dist_corr")
+            log(f"merge(dist_corr): {nm} clusters")
+            if run_log is not None:
+                run_log.snapshot("init", state)
 
-        # --- background ------------------------------------------------- #
-        state = update_background(Y, state, p, sn_pix=sn_pix)
-        log(f"background update ({time.time() - t0:.1f}s)")
+            # --- background -------------------------------------------- #
+            state = update_background(Y, state, p, sn_pix=sn_pix)
+            log(f"background update ({time.time() - t0:.1f}s)")
 
-        # --- residual pick ---------------------------------------------- #
-        state = compact(state)
-        resid = (subtract_background(Y, state, p)
-                 - jnp.einsum("khw,kt->thw", state.masked_A(),
-                              state.masked_C()))
-        state, _ = initialize_greedy(
-            resid, p, state=state, min_corr=p.init.min_corr_res,
-            min_pnr=p.init.min_pnr_res, verbose=verbose)
-        log(f"residual pick: total {int(state.n_active())} neurons "
-            f"({time.time() - t0:.1f}s)")
+            # --- residual pick ----------------------------------------- #
+            state = compact(state)
+            resid = (subtract_background(Y, state, p)
+                     - jnp.einsum("khw,kt->thw", state.masked_A(),
+                                  state.masked_C()))
+            state, _ = initialize_greedy(
+                resid, p, state=state, min_corr=p.init.min_corr_res,
+                min_pnr=p.init.min_pnr_res, verbose=verbose)
+            log(f"residual pick: total {int(state.n_active())} neurons "
+                f"({time.time() - t0:.1f}s)")
 
         # --- refinement (demo_large_data_1p.m order) -------------------- #
         # spatial first so residual duplicates refit onto the data, then

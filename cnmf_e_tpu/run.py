@@ -70,6 +70,10 @@ def main(argv=None):
     ap.add_argument("--save-mat", action="store_true")
     ap.add_argument("--dff", action="store_true",
                     help="also export DF/F traces")
+    ap.add_argument("--resume", default=None, metavar="SNAPSHOT_NPZ",
+                    help="resume from a previous stage snapshot")
+    ap.add_argument("--neuron-panels", action="store_true",
+                    help="write per-neuron QC PNGs")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -109,7 +113,7 @@ def main(argv=None):
         Y = load_movie(args.movie, 0, args.frames)
         model = CNMFE(params)
         state = model.fit(Y, n_outer=args.n_outer, verbose=verbose,
-                          run_log=run_log)
+                          run_log=run_log, resume_from=args.resume)
 
     out_path = save_results(os.path.join(run_log.dir, "results"), state,
                             params=params)
@@ -128,8 +132,18 @@ def main(argv=None):
                             F0=np.asarray(F0))
         run_log.log("dff -> dff.npz")
 
-    # summary figure
     n = int(np.asarray(state.active).sum())
+    if args.neuron_panels and n > 0:
+        from cnmf_e_tpu.utils.viz import save_neuron_panels
+        save_neuron_panels(os.path.join(run_log.dir, "neurons"),
+                           np.asarray(state.A)[:n],
+                           np.asarray(state.C)[:n],
+                           C_raw=np.asarray(state.C_raw)[:n],
+                           S=np.asarray(state.S)[:n],
+                           fs=params.fs)
+        run_log.log("neuron panels -> neurons/")
+
+    # summary figure
     if n > 0:
         Cn = np.asarray(model.info.get("Cn", np.zeros(shape[1:])))
         png = plot_summary(os.path.join(run_log.dir, "summary.png"), Cn,

@@ -58,3 +58,23 @@ def test_runlog_snapshot_and_restore(tmp_path):
     with open(log.log_path) as f:
         content = f.read()
     assert "hello" in content and "snapshot" in content
+
+
+@pytest.mark.slow
+def test_pipeline_resume_from_snapshot(tmp_path):
+    from cnmf_e_tpu.models.pipeline import CNMFE
+    gt = simulate_movie(seed=71, H=48, W=48, T=400, K=6, gSig=2.5,
+                        sn=0.08, bg_strength=0.6, min_dist=12.0,
+                        spike_rate=0.04)
+    params = _params()
+    log = RunLog(str(tmp_path), params=params)
+    model = CNMFE(params)
+    state1 = model.fit(gt.Y, n_outer=1, run_log=log)
+    snap = log.latest_snapshot()
+    assert snap is not None
+
+    # resume skips init and lands on a similar solution
+    model2 = CNMFE(params)
+    state2 = model2.fit(gt.Y, n_outer=1, resume_from=snap)
+    n1, n2 = int(state1.n_active()), int(state2.n_active())
+    assert abs(n1 - n2) <= 2, (n1, n2)
