@@ -18,7 +18,7 @@ import datetime
 import glob
 import json
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

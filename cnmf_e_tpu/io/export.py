@@ -8,9 +8,6 @@ downstream tooling built for the reference can consume them.
 
 from __future__ import annotations
 
-import dataclasses
-import json
-import os
 from typing import Optional
 
 import numpy as np

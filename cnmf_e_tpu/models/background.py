@@ -7,7 +7,7 @@ stencil and Gram matmuls partition over the mesh automatically).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ sharded-T mesh does the same with a psum when batches fit on devices).
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +27,6 @@ from cnmf_e_tpu.models.pipeline import CNMFE
 from cnmf_e_tpu.models.state import CNMFEState
 from cnmf_e_tpu.models.temporal import update_temporal
 from cnmf_e_tpu.models.spatial import update_spatial
-from cnmf_e_tpu.ops.hals import hals_temporal
 
 
 def init_traces_given_A(Y: jnp.ndarray, state: CNMFEState,

@@ -21,7 +21,7 @@ TPU re-design notes:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +31,10 @@ from cnmf_e_tpu.config import CNMFEParams, DeconvParams, MergeParams
 from cnmf_e_tpu.models.merge import merge_neurons
 from cnmf_e_tpu.models.state import CNMFEState, compact, empty_state
 from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf
-from cnmf_e_tpu.ops.hals import hals_spatial, hals_temporal
-from cnmf_e_tpu.ops.lowrank import nmf_hals, randomized_svd
+from cnmf_e_tpu.ops.hals import hals_temporal
+from cnmf_e_tpu.ops.lowrank import nmf_hals
 from cnmf_e_tpu.ops.noise import noise_psd
-from cnmf_e_tpu.ops.oasis import constrained_ar1, deconvolve
+from cnmf_e_tpu.ops.oasis import deconvolve
 
 
 # --------------------------------------------------------------------- #

@@ -14,7 +14,7 @@ code runs single-chip or on a ``(patch, frame)`` mesh (sharded inputs).
 from __future__ import annotations
 
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

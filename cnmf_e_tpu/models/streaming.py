@@ -18,7 +18,7 @@ updates.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +29,10 @@ from cnmf_e_tpu.io.store import MovieStore
 from cnmf_e_tpu.models.initialize import initialize_greedy
 from cnmf_e_tpu.models.merge import merge_neurons
 from cnmf_e_tpu.models.qc import remove_false_positives, tag_neurons
-from cnmf_e_tpu.models.state import CNMFEState, compact, empty_state
-from cnmf_e_tpu.models.temporal import update_temporal
-from cnmf_e_tpu.ops.hals import hals_spatial
+from cnmf_e_tpu.models.state import CNMFEState, compact
 from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import deconvolve
-from cnmf_e_tpu.ops.ring import (RingWeights, apply_ring, fit_ring_weights,
+from cnmf_e_tpu.ops.ring import (apply_ring, fit_ring_weights,
                                  ring_offsets)
 
 

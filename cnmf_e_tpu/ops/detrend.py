@@ -8,7 +8,7 @@ numpy; the projection is one MXU matmul).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

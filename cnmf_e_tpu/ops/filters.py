@@ -13,8 +13,6 @@ SPMD partitioning inserts the halo exchange automatically.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

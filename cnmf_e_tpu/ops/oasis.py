@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from cnmf_e_tpu.config import DeconvParams
-from cnmf_e_tpu.ops.ar import ar_kernel, choose_smin, estimate_time_constant
+from cnmf_e_tpu.ops.ar import choose_smin, estimate_time_constant
 from cnmf_e_tpu.ops.noise import estimate_noise
 
 

@@ -16,7 +16,7 @@ The scan is sequential over ~T/shift windows but fully batched over traces.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

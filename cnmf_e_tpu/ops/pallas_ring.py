@@ -17,7 +17,6 @@ shifts remain instead of R.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ over the (patch, frame) mesh:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

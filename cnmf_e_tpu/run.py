@@ -124,7 +124,6 @@ def main(argv=None):
         run_log.log(f"matlab export -> {mat_path}")
 
     if args.dff and args.batch_frames == 0:
-        import jax.numpy as jnp
         C_df, C_raw_df, F0 = model.dff(Y)
         np.savez_compressed(os.path.join(run_log.dir, "dff.npz"),
                             C_df=np.asarray(C_df),

@@ -11,8 +11,6 @@ a measurable target (spatial IoU, trace correlation, F1).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 
