@@ -105,8 +105,12 @@ def simulate_movie(seed: int = 0, H: int = 64, W: int = 64, T: int = 1000,
         drive /= max(np.abs(drive).max(), 1e-12)
         Bf += bg_strength * np.outer(drive, prof.ravel()).reshape(T, H, W)
 
-    Y = (np.einsum("khw,kt->thw", A, C)
-         + b0[None] + Bf + sn * rng.standard_normal((T, H, W)))
+    # C^T @ A_flat routes through BLAS (einsum "khw,kt->thw" does not and
+    # becomes the bottleneck for large movies)
+    Y = (C.T.astype(np.float32) @ A.reshape(K, H * W).astype(np.float32)
+         ).reshape(T, H, W)
+    Y += b0[None] + Bf
+    Y += (sn * rng.standard_normal((T, H, W))).astype(np.float32)
     return GroundTruth(Y=Y.astype(np.float32), A=A.astype(np.float32),
                        C=C.astype(np.float32), S=S.astype(np.float32),
                        b0=b0.astype(np.float32), Bf=Bf.astype(np.float32),
