@@ -18,22 +18,15 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
-def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None,
-                 n_iter: int = 5) -> jnp.ndarray:
-    """Update A given C:  A <- max(0, A + (U - A V) / diag(V)) per neuron.
+def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
+                        mask: Optional[jnp.ndarray] = None,
+                        n_iter: int = 5) -> jnp.ndarray:
+    """Gauss-Seidel spatial sweeps given precomputed Grams.
 
-    Y: (d, T) background-subtracted data; A: (d, K); C: (K, T);
-    mask: (d, K) search-location mask (True = allowed support).
-    Means are removed from Y and C first (HALS_spatial.m:28-32).
+    U = Ysig @ Cc^T (d, K), V = Cc @ Cc^T (K, K). Callers that can express
+    Ysig implicitly (e.g. the ring-background step, where
+    Ysig = P + (W A) C) build U/V without materializing Ysig.
     """
-    d, K = A.shape
-    T = Y.shape[-1]
-    Ymean = jnp.mean(Y, axis=1, keepdims=True)
-    Cmean = jnp.mean(C, axis=1, keepdims=True)
-    U = (Y @ C.T - T * (Ymean @ Cmean.T)).astype(A.dtype)   # (d, K)
-    V = (C @ C.T - T * (Cmean @ Cmean.T)).astype(A.dtype)   # (K, K)
     cc = jnp.diag(V)
     if mask is not None:
         A = jnp.where(mask, A, 0.0)
@@ -47,9 +40,51 @@ def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
         return A.at[:, k].set(ak)
 
     def sweep(_, A):
-        return jax.lax.fori_loop(0, K, neuron_update, A)
+        return jax.lax.fori_loop(0, A.shape[1], neuron_update, A)
 
     return jax.lax.fori_loop(0, n_iter, sweep, A)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 n_iter: int = 5) -> jnp.ndarray:
+    """Update A given C:  A <- max(0, A + (U - A V) / diag(V)) per neuron.
+
+    Y: (d, T) background-subtracted data; A: (d, K); C: (K, T);
+    mask: (d, K) search-location mask (True = allowed support).
+    Means are removed from Y and C first (HALS_spatial.m:28-32).
+    """
+    T = Y.shape[-1]
+    Ymean = jnp.mean(Y, axis=1, keepdims=True)
+    Cmean = jnp.mean(C, axis=1, keepdims=True)
+    U = (Y @ C.T - T * (Ymean @ Cmean.T)).astype(A.dtype)   # (d, K)
+    V = (C @ C.T - T * (Cmean @ Cmean.T)).astype(A.dtype)   # (K, K)
+    return hals_spatial_sweeps(U, V, A, mask=mask, n_iter=n_iter)
+
+
+def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
+                         n_iter: int = 5,
+                         active: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """Gauss-Seidel temporal sweeps given precomputed Grams.
+
+    U = A^T Ysig (K, T), V = A^T A (K, K); U stays fixed across sweeps
+    (it is built from the pre-update C, like ``HALS_temporal.m:58-107``).
+    """
+    aa = jnp.diag(V)
+
+    def neuron_update(k, C):
+        ck = C[k] + (U[k] - V[k] @ C) / jnp.maximum(aa[k], 1e-12)
+        ck = jnp.where(aa[k] > 0, ck, C[k])
+        if active is not None:
+            ck = jnp.where(active[k], ck, C[k])
+        return C.at[k].set(ck)
+
+    def sweep(_, C):
+        return jax.lax.fori_loop(0, C.shape[0], neuron_update, C)
+
+    return jax.lax.fori_loop(0, n_iter, sweep, C)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -66,20 +101,8 @@ def hals_temporal(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
     """
     U = (A.T @ Y).astype(C.dtype)          # (K, T)
     V = (A.T @ A).astype(C.dtype)          # (K, K)
-    aa = jnp.diag(V)
-
-    def neuron_update(k, C):
-        ck = C[k] + (U[k] - V[k] @ C) / jnp.maximum(aa[k], 1e-12)
-        ck = jnp.where(aa[k] > 0, ck, C[k])
-        if active is not None:
-            ck = jnp.where(active[k], ck, C[k])
-        return C.at[k].set(ck)
-
-    def sweep(_, C):
-        return jax.lax.fori_loop(0, C.shape[0], neuron_update, C)
-
-    C = jax.lax.fori_loop(0, n_iter, sweep, C)
-    return C, aa
+    C = hals_temporal_sweeps(U, V, C, n_iter=n_iter, active=active)
+    return C, jnp.diag(V)
 
 
 def hals_nmf(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,

@@ -10,6 +10,26 @@ over the (patch, frame) mesh:
     cross-patch trace reduction (``update_temporal_parallel.m:264-280``)
   * deconvolution reshards traces K-over-'patch' (per-trace parallelism,
     SURVEY.md 2.9) and runs the vmapped OASIS while_loop per shard
+
+FLOP structure (the reference never sees this because its patches are
+small; at full-FOV scale the dense contractions dominate):
+
+  * the background-subtracted movie ``Ysig = Y - B`` is never materialized.
+    The ring operator is linear, so with  P = (Y - b0) - W(Y - b0) - w0
+    (one stencil pass over the movie) and  GA[k] = W(a_k)  (a stencil pass
+    over the K footprint images, ~K/T the cost of a movie pass),
+
+        Ysig = P + GA @ C
+
+    and both HALS Grams decompose into P-contractions plus tiny K x K
+    terms — this deletes the (K, d) x (K, T) reconstruction matmul that a
+    literal  B = W(Y - b0 - A C)  evaluation would need.
+  * with ``crop_box`` set (single-device path), the remaining P-Grams are
+    evaluated only on a crop_box^2 pixel box around each footprint
+    (footprints are localized — the reference's search-location semantics,
+    ``determine_search_location.m``), replacing two (d, T) x (T, K)
+    matmuls with gathers + batched small contractions: ~25x fewer FLOPs
+    at 256x256, K~200.
 """
 
 from __future__ import annotations
@@ -21,7 +41,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnmf_e_tpu.config import DeconvParams
-from cnmf_e_tpu.ops.hals import hals_spatial, hals_temporal
+from cnmf_e_tpu.ops.hals import hals_spatial_sweeps, hals_temporal_sweeps
 from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import foopsi_ar1
 from cnmf_e_tpu.ops.ring import RingWeights, apply_ring
@@ -39,15 +59,44 @@ class StepState(NamedTuple):
     ring_w0: jnp.ndarray  # (H*W,)
 
 
+def _box_indices(A: jnp.ndarray, H: int, W: int, box: int):
+    """Per-neuron crop_box x crop_box pixel boxes centered on the footprint
+    peak, clipped fully inside the FOV. A: (K, H, W).
+
+    Returns (idx (K, box*box) flat pixel indices, mask builder inputs
+    (cy0, cx0) top-left corners (K,)).
+    """
+    K = A.shape[0]
+    flat_arg = jnp.argmax(A.reshape(K, -1), axis=-1)
+    cy = flat_arg // W
+    cx = flat_arg % W
+    y0 = jnp.clip(cy - box // 2, 0, H - box)
+    x0 = jnp.clip(cx - box // 2, 0, W - box)
+    dy = jnp.arange(box)
+    yy = y0[:, None] + dy[None, :]                      # (K, box)
+    xx = x0[:, None] + dy[None, :]                      # (K, box)
+    idx = (yy[:, :, None] * W + xx[:, None, :]).reshape(K, box * box)
+    return idx, y0, x0
+
+
 def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      radius: int, n_hals: int = 2,
                      deconv: Optional[DeconvParams] = None,
-                     smin: float = -3.0):
+                     smin: float = -3.0,
+                     crop_box: Optional[int] = None):
     """Build the jitted update step for a given mesh (None = single device).
 
     Returns step(Y, state) -> state. All shapes static; K must divide the
     'patch' axis size when a mesh is given (pad K_max accordingly).
+
+    ``crop_box``: evaluate the HALS Grams on a crop_box^2 box around each
+    footprint peak and constrain footprints to it (search-location
+    semantics). Single-device only — cross-shard gathers would serialize
+    the SPMD program.
     """
+    if crop_box is not None and mesh is not None:
+        raise ValueError("crop_box is a single-device optimization")
+    d = H * W
 
     def constraint(x, spec):
         if mesh is None:
@@ -59,28 +108,69 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
         Y = constraint(Y, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
-
-        # ---- background subtraction (ring stencil over 'patch') -------- #
-        weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
-        X = Y - st.b0[None] - jnp.einsum("khw,kt->thw", A, C)
-        if mesh is None:
-            # single device: Pallas stencil kernel when tiling allows
-            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
-            B = ring_apply_auto(weights, X, H, W, radius) + st.b0[None]
-        else:
-            # mesh: XLA shift form partitions with automatic halo exchange
-            B = apply_ring(weights, X, H, W, radius) + st.b0[None]
-        Ysig = Y - B
-
-        # ---- factor updates (Gram psums over sharded axes) ------------- #
         K = A.shape[0]
-        Yd = Ysig.reshape(T, H * W).T              # (d, T)
-        Ad = A.reshape(K, H * W).T                 # (d, K)
-        Ad = hals_spatial(Yd, Ad, C, n_iter=n_hals)
-        A_new = Ad.T.reshape(K, H, W)
-        A_new = constraint(A_new, P(None, "patch", None))
 
-        C_raw, _ = hals_temporal(Yd, Ad, C, n_iter=n_hals)
+        # ---- background operator, applied once to data and footprints --- #
+        # Ysig = Y - B,  B = W(Y - b0 - A C) + w0 + b0
+        #      = P + GA @ C,  P = (Y-b0) - W(Y-b0) - w0,  GA[k] = W(a_k)
+        weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
+        Q = Y - st.b0[None]
+        if mesh is None:
+            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
+            WQ = ring_apply_auto(weights, Q, H, W, radius)   # W(Q) + w0
+        else:
+            WQ = apply_ring(weights, Q, H, W, radius)
+        Pmov = Q - WQ                                        # (T, H, W)
+        GA = apply_ring(weights, A, H, W, radius,
+                        include_intercept=False)             # (K, H, W)
+
+        Pd = Pmov.reshape(T, d).T                            # (d, T)
+        Ad = A.reshape(K, d).T                               # (d, K)
+        GAd = GA.reshape(K, d).T                             # (d, K)
+
+        # ---- spatial HALS ------------------------------------------------ #
+        Cmean = jnp.mean(C, axis=1, keepdims=True)
+        Cc = C - Cmean                                       # (K, T)
+        V = Cc @ Cc.T                                        # (K, K)
+
+        if crop_box is None:
+            U = Pd @ Cc.T + GAd @ V                          # (d, K)
+            mask = None
+        else:
+            box = crop_box
+            idx, y0, x0 = _box_indices(A, H, W, box)         # (K, B)
+            Pg = jnp.take(Pd, idx, axis=0)                   # (K, B, T)
+            U_box = jnp.einsum("kbt,kt->kb", Pg, Cc,
+                               preferred_element_type=jnp.float32)
+            rows = idx.reshape(-1)
+            cols = jnp.repeat(jnp.arange(K), box * box)
+            U = jnp.zeros((d, K), Pd.dtype).at[rows, cols].set(
+                U_box.reshape(-1))
+            U = U + GAd @ V
+            yy = jnp.arange(H)[:, None]
+            xx = jnp.arange(W)[None, :]
+            in_box = ((yy[None] >= y0[:, None, None]) &
+                      (yy[None] < (y0 + box)[:, None, None]) &
+                      (xx[None] >= x0[:, None, None]) &
+                      (xx[None] < (x0 + box)[:, None, None]))  # (K, H, W)
+            mask = in_box.reshape(K, d).T                    # (d, K)
+
+        Ad_new = hals_spatial_sweeps(U, V, Ad, mask=mask, n_iter=n_hals)
+        A_new = Ad_new.T.reshape(K, H, W)
+        A_new = constraint(A_new, P(None, "patch", None))
+        Ad_new = A_new.reshape(K, d).T
+
+        # ---- temporal HALS ----------------------------------------------- #
+        Vt = Ad_new.T @ Ad_new                               # (K, K)
+        GtA = Ad_new.T @ GAd                                 # (K, K)
+        if crop_box is None:
+            Ut = Ad_new.T @ Pd + GtA @ C                     # (K, T)
+        else:
+            # A_new is zero outside the boxes, so the box dot is exact
+            Ag = Ad_new[idx, jnp.arange(K)[:, None]]         # (K, B)
+            Ut = jnp.einsum("kb,kbt->kt", Ag, Pg,
+                            preferred_element_type=jnp.float32) + GtA @ C
+        C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals)
 
         # baseline: mean of sub-median samples (HALS_temporal.m:79)
         med = jnp.median(C_raw, axis=-1, keepdims=True)

@@ -1,0 +1,101 @@
+"""The distributed update step's implicit-background algebra.
+
+The step never materializes Ysig = Y - B; it decomposes both HALS Grams
+through the linearity of the ring operator (parallel/step.py). These tests
+pin that algebra to the explicit formulation, and the crop_box fast path to
+dense HALS with the equivalent search-location mask.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnmf_e_tpu.ops.hals import hals_spatial, hals_temporal
+from cnmf_e_tpu.ops.noise import noise_psd
+from cnmf_e_tpu.ops.oasis import foopsi_ar1
+from cnmf_e_tpu.ops.ring import RingWeights, apply_ring, ring_offsets
+from cnmf_e_tpu.parallel.step import StepState, _box_indices, make_update_step
+
+
+@pytest.fixture(scope="module")
+def problem():
+    H = W = 32
+    T = 96
+    K = 8
+    radius = 4
+    R = ring_offsets(radius).shape[0]
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.standard_normal((T, H, W)) * 0.1 + 1.0, jnp.float32)
+    A = np.zeros((K, H, W), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for k in range(K):
+        cy, cx = rng.uniform(6, H - 6), rng.uniform(6, W - 6)
+        A[k] = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 4.0)
+    A[A < 1e-4] = 0
+    C = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+    w = rng.standard_normal((H * W, R)).astype(np.float32) * 0.01 + 1.0 / R
+    st = StepState(
+        A=jnp.asarray(A), C=jnp.asarray(C),
+        C_raw=jnp.zeros((K, T), jnp.float32),
+        S=jnp.zeros((K, T), jnp.float32),
+        g=jnp.full((K,), 0.9, jnp.float32),
+        b0=jnp.ones((H, W), jnp.float32),
+        ring_w=jnp.asarray(w), ring_w0=jnp.zeros((H * W,), jnp.float32))
+    return H, W, T, K, radius, Y, st
+
+
+def _explicit_reference(H, W, T, K, radius, Y, st, mask=None):
+    """The literal formulation: materialize B and Ysig, then HALS+deconv."""
+    weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
+    X = Y - st.b0[None] - jnp.einsum("khw,kt->thw", st.A, st.C)
+    B = apply_ring(weights, X, H, W, radius) + st.b0[None]
+    Ysig = Y - B
+    Yd = Ysig.reshape(T, H * W).T
+    Ad = st.A.reshape(K, H * W).T
+    Ad2 = hals_spatial(Yd, Ad, st.C, mask=mask, n_iter=1)
+    C_raw, _ = hals_temporal(Yd, Ad2, st.C, n_iter=1)
+    med = jnp.median(C_raw, axis=-1, keepdims=True)
+    below = C_raw < med
+    base = jnp.sum(jnp.where(below, C_raw, 0.0), axis=-1) / \
+        jnp.maximum(jnp.sum(below, axis=-1), 1)
+    C_raw = C_raw - base[:, None]
+    res = foopsi_ar1(C_raw, st.g, smin=-3.0, sn=noise_psd(C_raw),
+                     optimize_b=False)
+    return Ad2, C_raw, res.c
+
+
+def test_dense_step_matches_explicit_ysig(problem):
+    H, W, T, K, radius, Y, st = problem
+    Ad2, C_raw, c = _explicit_reference(H, W, T, K, radius, Y, st)
+    step = make_update_step(None, H, W, T, radius=radius, n_hals=1)
+    out = step(Y, st)
+    np.testing.assert_allclose(out.A.reshape(K, -1).T, Ad2, atol=2e-4)
+    np.testing.assert_allclose(out.C_raw, C_raw, atol=2e-3)
+    np.testing.assert_allclose(out.C, c, atol=5e-3)
+
+
+def test_crop_step_matches_masked_dense(problem):
+    H, W, T, K, radius, Y, st = problem
+    idx, _, _ = _box_indices(st.A, H, W, 16)
+    mask = np.zeros((K, H * W), bool)
+    for k in range(K):
+        mask[k, np.asarray(idx)[k]] = True
+    Ad2, C_raw, c = _explicit_reference(
+        H, W, T, K, radius, Y, st, mask=jnp.asarray(mask.T))
+    step = make_update_step(None, H, W, T, radius=radius, n_hals=1,
+                            crop_box=16)
+    out = step(Y, st)
+    np.testing.assert_allclose(out.A.reshape(K, -1).T, Ad2, atol=2e-4)
+    np.testing.assert_allclose(out.C_raw, C_raw, atol=2e-3)
+    np.testing.assert_allclose(out.C, c, atol=5e-3)
+
+
+def test_box_indices_clip_inside_fov():
+    A = np.zeros((2, 16, 16), np.float32)
+    A[0, 0, 0] = 1.0          # corner peak
+    A[1, 8, 15] = 1.0         # edge peak
+    idx, y0, x0 = _box_indices(jnp.asarray(A), 16, 16, 8)
+    assert int(y0[0]) == 0 and int(x0[0]) == 0
+    assert int(x0[1]) == 8
+    assert int(jnp.max(idx)) < 256 and int(jnp.min(idx)) >= 0
