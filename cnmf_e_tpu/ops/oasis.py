@@ -276,8 +276,13 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
               chunk: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched OASIS AR(1). y: (..., T); g/lam/smin scalars or (...,).
 
-    Uses the divide-and-conquer fast path when T is divisible into
-    ``chunk``-sized pieces: chunk-local pool solves run in parallel
+    On TPU, short-enough traces dispatch to the Pallas event-loop kernel
+    (ops/pallas_oasis.py): the whole sequential pool merge runs inside one
+    program at VMEM speed — exact sample-level semantics, ~8x faster than
+    the XLA while_loop formulations.
+
+    Otherwise uses the divide-and-conquer fast path when T is divisible
+    into ``chunk``-sized pieces: chunk-local pool solves run in parallel
     (vmapped, while-loop trip count ~2*chunk), then a pool-granularity
     event loop merges across chunk boundaries — its trip count scales with
     the surviving pool count (typically << T), cutting the sequential
@@ -291,6 +296,12 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
     T = y.shape[-1]
     yf = y.reshape(-1, T)
     bc = lambda x: jnp.broadcast_to(jnp.asarray(x, yf.dtype), batch_shape).reshape(-1)
+
+    from cnmf_e_tpu.ops.pallas_oasis import (oasis_ar1_pallas,
+                                             oasis_pallas_supported)
+    if jax.default_backend() in ("tpu", "axon") and oasis_pallas_supported(T):
+        c, s = oasis_ar1_pallas(yf, bc(g), bc(lam), bc(smin))
+        return c.reshape(y.shape), s.reshape(y.shape)
     if chunk and T > chunk:
         # pad to a chunk multiple with huge values: a sample far above any
         # decayed predecessor never triggers a merge, so the pad pools stay

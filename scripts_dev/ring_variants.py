@@ -1,0 +1,242 @@
+"""Experimental ring-stencil kernel variants (dev tool).
+
+V3: fully static unrolled tap loop with accumulator chaining — offsets
+baked into the program, static slices, no SMEM indirection.
+V2: taps grouped by column offset dx — one dynamic sublane slice per dx,
+free row slices within the group.
+"""
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cnmf_e_tpu.ops.ring import RingWeights, ring_offsets
+
+
+def _kernel_v3(offsets, HT, W, TB, mr, mc):
+    """Static unroll with acc chaining."""
+    offs = [(int(dy), int(dx)) for dy, dx in offsets]
+
+    def kernel(x_hbm, wgt_ref, w0_ref, out_ref, x_tile, sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+        acc = jnp.broadcast_to(w0_ref[:, :][:, :, None], (HT, W, TB))
+        for r, (dy, dx) in enumerate(offs):
+            tap = x_tile[mr + dy:mr + dy + HT, mc + dx:mc + dx + W, :]
+            acc = acc + wgt_ref[r][:, :, None] * tap
+        out_ref[:, :, :] = acc
+
+    return kernel
+
+
+def _kernel_v2(dx_vals, starts, counts, dy_all, HT, W, TB, mr, mc):
+    """dx-grouped: hoisted sublane slice per dx, rolled dy loop."""
+    n_dx = len(dx_vals)
+
+    def kernel(dxv_ref, st_ref, ct_ref, dy_ref, x_hbm, wgt_ref, w0_ref,
+               out_ref, x_tile, x_dx, sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
+                                            (HT, W, TB))
+
+        def dx_body(j, _):
+            dx = dxv_ref[j]
+            x_dx[:, :, :] = x_tile[:, pl.ds(mc + dx, W), :]
+            s = st_ref[j]
+
+            def dy_body(i, _):
+                r = s + i
+                dy = dy_ref[r]
+                tap = x_dx[pl.ds(mr + dy, HT), :, :]
+                out_ref[:, :, :] = out_ref[:, :, :] + \
+                    wgt_ref[r][:, :, None] * tap
+                return 0
+
+            jax.lax.fori_loop(0, ct_ref[j], dy_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_dx, dx_body, 0)
+
+    return kernel
+
+
+def _kernel_v4(R, HT, W, TB, mr, mc):
+    """Current rolled kernel, accumulator as fori carry (value, not ref)."""
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        def body(r, acc):
+            dy = dy_ref[r]
+            dx = dx_ref[r]
+            tap = x_tile[pl.ds(mr + dy, HT), pl.ds(mc + dx, W), :]
+            return acc + wgt_ref[r][:, :, None] * tap
+
+        acc0 = jnp.broadcast_to(w0_ref[:, :][:, :, None], (HT, W, TB))
+        out_ref[:, :, :] = jax.lax.fori_loop(0, R, body, acc0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "radius", "variant",
+                                             "TB"))
+def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
+    offsets = ring_offsets(radius)
+    m = int(np.abs(offsets).max())
+    mc = -(-m // 4) * 4
+    mr = m
+    T = X.shape[0]
+    T_pad = -(-T // TB) * TB
+    HT = 8
+    while H % HT:
+        HT //= 2
+
+    Xt = jnp.moveaxis(X, 0, -1)
+    Xpad = jnp.pad(Xt, ((mr, mr), (mc, mc), (0, T_pad - T)))
+    Hp, Wp = H + 2 * mr, W + 2 * mc
+    Xpad = jnp.moveaxis(Xpad.reshape(Hp, Wp, T_pad // TB, TB), 2, 0)
+    w0 = weights.w0.reshape(H, W)
+    grid = (H // HT, T_pad // TB)
+
+    if variant == "v4":
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
+        dy = jnp.asarray(offsets[:, 0], jnp.int32)
+        dx = jnp.asarray(offsets[:, 1], jnp.int32)
+        out = pl.pallas_call(
+            _kernel_v4(int(offsets.shape[0]), HT, W, TB, mr, mc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((offsets.shape[0], HT, W), lambda h, t: (0, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, dx, Xpad, wgt, w0)
+    elif variant == "v3":
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
+        out = pl.pallas_call(
+            _kernel_v3(offsets, HT, W, TB, mr, mc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((offsets.shape[0], HT, W), lambda h, t: (0, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(Xpad, wgt, w0)
+    else:
+        # group taps by dx
+        order = np.lexsort((offsets[:, 0], offsets[:, 1]))
+        offs_s = offsets[order]
+        dx_vals, starts_, counts_ = [], [], []
+        i = 0
+        while i < len(offs_s):
+            j = i
+            while j < len(offs_s) and offs_s[j, 1] == offs_s[i, 1]:
+                j += 1
+            dx_vals.append(int(offs_s[i, 1]))
+            starts_.append(i)
+            counts_.append(j - i)
+            i = j
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)[order]
+        out = pl.pallas_call(
+            _kernel_v2(dx_vals, starts_, counts_,
+                       offs_s[:, 0], HT, W, TB, mr, mc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((offsets.shape[0], HT, W), lambda h, t: (0, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+                pltpu.VMEM((HT + 2 * mr, W, TB), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(jnp.asarray(dx_vals, jnp.int32), jnp.asarray(starts_, jnp.int32),
+          jnp.asarray(counts_, jnp.int32),
+          jnp.asarray(offs_s[:, 0], jnp.int32), Xpad, wgt, w0)
+    return jnp.moveaxis(out[:, :, :T], -1, 0)
+
+
+if __name__ == "__main__":
+    import sys
+    from cnmf_e_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from cnmf_e_tpu.ops.pallas_ring import apply_ring_pallas
+
+    variant = sys.argv[1] if len(sys.argv) > 1 else "v3"
+    TB = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    H = W = 256
+    T = 2000
+    radius = 13
+    R = ring_offsets(radius).shape[0]
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((T, H, W)).astype(np.float32))
+    weights = RingWeights(
+        w=jnp.asarray(rng.random((H * W, R)).astype(np.float32)) / R,
+        w0=jnp.asarray(rng.random((H * W,)).astype(np.float32)))
+
+    def force(x):
+        return float(jnp.sum(x))
+
+    f_new = jax.jit(lambda ww, xx: apply_ring_variant(ww, xx, H, W, radius,
+                                                      variant=variant, TB=TB))
+    f_old = jax.jit(lambda ww, xx: apply_ring_pallas(ww, xx, H, W, radius))
+    o_new = f_new(weights, X); force(o_new)
+    o_old = f_old(weights, X); force(o_old)
+    print("max diff vs current kernel:",
+          float(jnp.max(jnp.abs(o_new - o_old))))
+    for name, f in [(variant, f_new), ("current", f_old)]:
+        t0 = time.perf_counter()
+        for _ in range(3):
+            force(f(weights, X))
+        dt = (time.perf_counter() - t0) / 3 * 1000
+        print(f"{name:8s} {dt:9.2f} ms")
