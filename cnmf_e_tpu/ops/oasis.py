@@ -551,15 +551,27 @@ def deconvolve(y: jnp.ndarray, params: DeconvParams,
         from cnmf_e_tpu.ops.onnls import onnls_deconvolve
         return onnls_deconvolve(y, g, sn, params)
     if params.model == "kernel":
-        # arbitrary kernel: project onto the best difference-of-exponentials
-        # and solve with the windowed NNLS (onnls.py::fit_exp2_to_kernel)
-        from cnmf_e_tpu.ops.onnls import fit_exp2_to_kernel, onnls_deconvolve
-        from cnmf_e_tpu.ops.ar import exp2ar
+        # arbitrary finite kernel: exact windowed NNLS with residual carry
+        # (onnls.py::onnls_kernel — the reference 'kernel' model semantics)
+        from cnmf_e_tpu.ops.onnls import causal_conv, onnls_kernel
         assert g is not None, "kernel model requires the kernel via g"
-        d, r = fit_exp2_to_kernel(jnp.asarray(g).reshape(-1))
+        h = jnp.asarray(g).reshape(-1)
         batch = y.shape[:-1]
-        g2 = jnp.broadcast_to(exp2ar(d, r), batch + (2,))
-        return onnls_deconvolve(y, g2, sn, params)
+        b = jnp.quantile(y, 0.15, axis=-1) if params.optimize_b else \
+            jnp.zeros(batch, y.dtype)
+        c, s = onnls_kernel(y - b[..., None], h, lam=params.lam)
+        if params.optimize_b:
+            b = b + jnp.mean(y - b[..., None] - c, axis=-1)
+            c, s = onnls_kernel(y - b[..., None], h, lam=params.lam)
+        if params.smin != 0:
+            floor = (abs(params.smin) * sn)[..., None] if params.smin < 0 \
+                else jnp.asarray(params.smin, y.dtype)
+            s = jnp.where(s >= floor, s, 0.0)
+            c = causal_conv(s, h)
+        return DeconvResult(
+            c, s, b, h, jnp.broadcast_to(jnp.asarray(params.lam, y.dtype),
+                                         batch),
+            jnp.broadcast_to(jnp.asarray(params.smin, y.dtype), batch))
     if params.model != "ar1":
         raise NotImplementedError(f"model {params.model!r}")
 

@@ -114,6 +114,88 @@ def onnls(y: jnp.ndarray, d: jnp.ndarray, r: jnp.ndarray, win: int = 200,
     return c, s
 
 
+def onnls_kernel(y: jnp.ndarray, h: jnp.ndarray, win: int = 200,
+                 shift: int = 100, fista_iters: int = 60,
+                 lam: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed NNLS deconvolution with an ARBITRARY finite kernel.
+
+    Exact counterpart of the reference 'kernel' model (``onnls.m:1-50``
+    with a ``create_kernel``-style impulse response): no state-space trick
+    exists for a generic kernel, so the scan carries the RESIDUAL trace —
+    after committing the first ``shift`` spikes of each window, their full
+    kernel contribution is subtracted from the residual, exactly like the
+    reference's in-place ``y`` update.
+
+    y: (..., T); h: (Lh,) impulse response (h[0] should be ~1).
+    Returns (c, s) with c = h * s (causal convolution).
+    """
+    y = jnp.asarray(y)
+    h = jnp.asarray(h, y.dtype).reshape(-1)
+    batch = y.shape[:-1]
+    T = y.shape[-1]
+    Lh = h.shape[0]
+    win = min(win, T)
+    shift = min(shift, win)
+    n_win = max((T - (win - shift) + shift - 1) // shift, 1)
+    Tpad = (n_win - 1) * shift + win
+
+    # design matrix on a window: H[i, j] = h[i - j] (lower-tri Toeplitz)
+    i = jnp.arange(win)[:, None]
+    j = jnp.arange(win)[None, :]
+    lag = i - j
+    hw = jnp.concatenate([h, jnp.zeros((max(win - Lh, 0),), y.dtype)])[:win]
+    H = jnp.where(lag >= 0, hw[jnp.clip(lag, 0, win - 1)], 0.0)
+    G = H.T @ H                                       # (win, win)
+
+    # committed-contribution matrix: spike at offset u spreads h over
+    # [u, u + Lh); rows = spike offset, cols = contribution offset
+    Lc = win + Lh - 1
+    uu = jnp.arange(win)[:, None]
+    ll = jnp.arange(Lc)[None, :]
+    clag = ll - uu
+    Hc = jnp.where((clag >= 0) & (clag < Lh),
+                   h[jnp.clip(clag, 0, Lh - 1)], 0.0)  # (win, Lc)
+
+    y_res0 = jnp.concatenate(
+        [y, jnp.zeros(batch + (Tpad + Lc - T,), y.dtype)], axis=-1)
+    s0 = jnp.zeros(batch + (Tpad,), y.dtype)
+
+    def window(carry, k):
+        y_res, s_acc = carry
+        t0 = k * shift
+        yw = jax.lax.dynamic_slice_in_dim(y_res, t0, win, axis=-1)
+        b = yw @ H - lam                              # (..., win)
+        s_w = nnls_fista(G, b, n_iter=fista_iters)
+        commit = jnp.where(k == n_win - 1, win, shift)
+        s_commit = jnp.where(jnp.arange(win) < commit, s_w, 0.0)
+        s_acc = jax.lax.dynamic_update_slice_in_dim(
+            s_acc, jax.lax.dynamic_slice_in_dim(s_acc, t0, win, axis=-1)
+            + s_commit, t0, axis=-1)
+        contrib = s_commit @ Hc                       # (..., Lc)
+        seg = jax.lax.dynamic_slice_in_dim(y_res, t0, Lc, axis=-1)
+        y_res = jax.lax.dynamic_update_slice_in_dim(
+            y_res, seg - contrib, t0, axis=-1)
+        return (y_res, s_acc), None
+
+    (_, s), _ = jax.lax.scan(window, (y_res0, s0), jnp.arange(n_win))
+    s = s[..., :T]
+    c = causal_conv(s, h)
+    return c, s
+
+
+def causal_conv(s: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """c[t] = sum_l h[l] * s[t - l], batched over leading dims of s."""
+    s = jnp.asarray(s)
+    h = jnp.asarray(h, s.dtype).reshape(-1)
+    batch = s.shape[:-1]
+    T = s.shape[-1]
+    lhs = s.reshape(-1, 1, T)
+    rhs = h[::-1].reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(h.shape[0] - 1, 0)])
+    return out.reshape(batch + (T,))
+
+
 def fit_exp2_to_kernel(h: jnp.ndarray, n_grid: int = 40
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fit (d, r) of a difference-of-exponentials to an arbitrary kernel by

@@ -12,6 +12,20 @@ tap count. So the kernel runs in a TRANSPOSED layout, (H, W, T): time sits
 on the (aligned) lane axis, the row offset dy lands on the untiled outer
 axis (free), and taps are grouped by column offset dx so only ~2m+1 sublane
 shifts remain instead of R.
+
+Variants measured and REJECTED on v5e (scripts_dev/ring_variants.py), for
+the record — the rolled loop below is within ~2x of the VPU read floor and
+none of these beat it:
+  * full static unroll with accumulator chaining: Mosaic materializes every
+    tap product in scoped VMEM (R ~ 92 -> 95 MB OOM), same failure as the
+    original unrolled loop;
+  * dx-grouped hoisting (one sublane slice per distinct dx): the hoisted
+    full-height copy costs as much traffic as it saves (106 vs 97 ms);
+  * accumulator as fori-loop carry instead of out_ref rmw: slower (118 ms)
+    — Mosaic's rmw on a ref is already optimal;
+  * bf16 movie tile (half the tap-read traffic): dynamic sublane offsets
+    must be provably multiples of 8 for packed dtypes — arbitrary ring
+    offsets cannot satisfy that; TB=256 lane blocks: scoped-VMEM OOM.
 """
 
 from __future__ import annotations

@@ -74,6 +74,35 @@ def _kernel_v2(dx_vals, starts, counts, dy_all, HT, W, TB, mr, mc):
     return kernel
 
 
+def _kernel_v5(R, HT, W, TB, mr, mc):
+    """Current rolled kernel with the movie tile in bf16 (half the tap-read
+    traffic; f32 weights and accumulator)."""
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
+                                            (HT, W, TB))
+
+        def body(r, _):
+            dy = dy_ref[r]
+            dx = dx_ref[r]
+            tap = x_tile[pl.ds(mr + dy, HT), pl.ds(mc + dx, W), :]
+            out_ref[:, :, :] = out_ref[:, :, :] + \
+                wgt_ref[r][:, :, None] * tap.astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, R, body, 0)
+
+    return kernel
+
+
 def _kernel_v4(R, HT, W, TB, mr, mc):
     """Current rolled kernel, accumulator as fori carry (value, not ref)."""
 
@@ -118,7 +147,31 @@ def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
     w0 = weights.w0.reshape(H, W)
     grid = (H // HT, T_pad // TB)
 
-    if variant == "v4":
+    if variant == "v5":
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
+        dy = jnp.asarray(offsets[:, 0], jnp.int32)
+        dx = jnp.asarray(offsets[:, 1], jnp.int32)
+        out = pl.pallas_call(
+            _kernel_v5(int(offsets.shape[0]), HT, W, TB, mr, mc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((offsets.shape[0], HT, W), lambda h, t: (0, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, dx, Xpad.astype(jnp.bfloat16), wgt, w0)
+    elif variant == "v4":
         wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
         dy = jnp.asarray(offsets[:, 0], jnp.int32)
         dx = jnp.asarray(offsets[:, 1], jnp.int32)

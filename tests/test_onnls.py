@@ -64,3 +64,51 @@ def test_deconvolve_kernel_model(rng):
                      g=jnp.asarray(h))
     corr = np.corrcoef(np.asarray(out.c[0]), c_true)[0, 1]
     assert corr > 0.9, corr
+
+
+def test_onnls_kernel_non_exponential_recovery(rng):
+    """A gamma-shaped kernel no difference-of-exponentials matches well:
+    the exact arbitrary-kernel solver must still recover the spikes."""
+    from cnmf_e_tpu.ops.onnls import causal_conv, onnls_kernel
+    T, Lh = 600, 60
+    t = np.arange(Lh, dtype=np.float64)
+    h = (t ** 2) * np.exp(-t / 6.0)          # delayed-rise gamma shape
+    h /= h.max()
+    s_true = (rng.random(T) < 0.02) * (1.0 + rng.random(T))
+    c_true = np.convolve(s_true, h)[:T]
+    y = c_true + 0.05 * rng.standard_normal(T)
+    c, s = onnls_kernel(jnp.asarray(y[None], jnp.float32),
+                        jnp.asarray(h, jnp.float32), fista_iters=200)
+    corr = np.corrcoef(np.asarray(c[0]), c_true)[0, 1]
+    assert corr > 0.97, corr
+    s_np = np.asarray(s[0])
+    for tt in np.nonzero(s_true)[0]:
+        assert s_np[max(tt - 2, 0):tt + 3].sum() > 0.3 * s_true[tt], tt
+
+
+def test_onnls_kernel_window_stitching_matches_global(rng):
+    """Committed-spike subtraction across windows: windowed solution on a
+    long trace matches a single-window (win >= T) solve."""
+    from cnmf_e_tpu.ops.onnls import onnls_kernel
+    T, Lh = 300, 40
+    t = np.arange(Lh, dtype=np.float64)
+    h = np.exp(-t / 8.0) - np.exp(-t / 2.0)
+    h /= h.max()
+    s_true = (rng.random(T) < 0.03) * (1.0 + rng.random(T))
+    y = np.convolve(s_true, h)[:T] + 0.02 * rng.standard_normal(T)
+    yj = jnp.asarray(y[None], jnp.float32)
+    hj = jnp.asarray(h, jnp.float32)
+    c_win, _ = onnls_kernel(yj, hj, win=100, shift=50, fista_iters=300)
+    c_full, _ = onnls_kernel(yj, hj, win=T, shift=T, fista_iters=300)
+    rel = np.linalg.norm(np.asarray(c_win - c_full)) / \
+        np.linalg.norm(np.asarray(c_full))
+    assert rel < 0.05, rel
+
+
+def test_causal_conv_matches_numpy(rng):
+    from cnmf_e_tpu.ops.onnls import causal_conv
+    s = rng.random((2, 50)).astype(np.float32)
+    h = rng.random(7).astype(np.float32)
+    out = causal_conv(jnp.asarray(s), jnp.asarray(h))
+    ref = np.stack([np.convolve(si, h)[:50] for si in s])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
