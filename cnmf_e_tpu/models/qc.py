@@ -55,6 +55,20 @@ def remove_false_positives(state: CNMFEState, params: CNMFEParams
         S=state.S * keep[:, None])
 
 
+def delete_neurons(state: CNMFEState, indices) -> CNMFEState:
+    """Deactivate neurons by slot index (reference ``Sources2D.delete``
+    ``Sources2D.m:762-814``; also the consumer of the HTML report's
+    ``decisions.json`` rejected list, ``utils/report.py``)."""
+    indices = jnp.asarray(indices, jnp.int32).reshape(-1)
+    keep = state.active & ~jnp.zeros_like(state.active).at[indices].set(True)
+    return state.replace(
+        active=keep,
+        A=state.A * keep[:, None, None],
+        C=state.C * keep[:, None],
+        C_raw=state.C_raw * keep[:, None],
+        S=state.S * keep[:, None])
+
+
 def order_neurons(state: CNMFEState, by: str = "snr") -> jnp.ndarray:
     """Sort key per neuron (reference ``orderROIs`` ``Sources2D.m:573-653``).
     Returns the descending order permutation (host applies it if desired)."""

@@ -74,6 +74,11 @@ def main(argv=None):
                     help="resume from a previous stage snapshot")
     ap.add_argument("--neuron-panels", action="store_true",
                     help="write per-neuron QC PNGs")
+    ap.add_argument("--report", action="store_true",
+                    help="write the interactive HTML QC report")
+    ap.add_argument("--apply-decisions", default=None, metavar="JSON",
+                    help="decisions.json from a report: drop rejected "
+                         "neurons before export")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -115,6 +120,17 @@ def main(argv=None):
         state = model.fit(Y, n_outer=args.n_outer, verbose=verbose,
                           run_log=run_log, resume_from=args.resume)
 
+    if args.apply_decisions:
+        from cnmf_e_tpu.models.qc import delete_neurons
+        from cnmf_e_tpu.models.state import compact
+        with open(args.apply_decisions) as f:
+            rejected = json.load(f).get("rejected", [])
+        if rejected:
+            state = compact(delete_neurons(state, rejected))
+            model.state = state
+            run_log.log(f"applied decisions: dropped {len(rejected)} "
+                        f"neurons ({args.apply_decisions})")
+
     out_path = save_results(os.path.join(run_log.dir, "results"), state,
                             params=params)
     run_log.log(f"results -> {out_path}")
@@ -148,6 +164,18 @@ def main(argv=None):
         png = plot_summary(os.path.join(run_log.dir, "summary.png"), Cn,
                            np.asarray(state.A)[:n], np.asarray(state.C)[:n])
         run_log.log(f"summary figure -> {png}")
+
+    if args.report and n > 0:
+        from cnmf_e_tpu.utils.report import generate_html_report
+        Cn = np.asarray(model.info.get("Cn", np.zeros(shape[1:])))
+        rpt = generate_html_report(
+            os.path.join(run_log.dir, "report.html"), Cn,
+            np.asarray(state.A)[:n], np.asarray(state.C)[:n],
+            C_raw=np.asarray(state.C_raw)[:n], S=np.asarray(state.S)[:n],
+            tags=np.asarray(state.tags)[:n], fs=params.fs,
+            params={"movie": args.movie, "preset": args.preset},
+            title=os.path.basename(args.movie))
+        run_log.log(f"interactive report -> {rpt}")
 
     summary = {"n_neurons": n, "movie": args.movie, "shape": list(shape),
                "run_dir": run_log.dir}

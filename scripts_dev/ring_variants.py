@@ -103,6 +103,112 @@ def _kernel_v5(R, HT, W, TB, mr, mc):
     return kernel
 
 
+def _kernel_v6(R_pad, G, HT, W, TB, mr, mc):
+    """Current layout, taps partially unrolled in groups of G: one out_ref
+    read-modify-write per G taps instead of per tap (R is zero-padded to a
+    multiple of G with zero-weight taps)."""
+    n_grp = R_pad // G
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
+                                            (HT, W, TB))
+
+        def body(j, _):
+            r0 = j * G
+            acc = wgt_ref[r0][:, :, None] * \
+                x_tile[pl.ds(mr + dy_ref[r0], HT),
+                       pl.ds(mc + dx_ref[r0], W), :]
+            for i in range(1, G):
+                r = r0 + i
+                acc = acc + wgt_ref[r][:, :, None] * \
+                    x_tile[pl.ds(mr + dy_ref[r], HT),
+                           pl.ds(mc + dx_ref[r], W), :]
+            out_ref[:, :, :] = out_ref[:, :, :] + acc
+            return 0
+
+        jax.lax.fori_loop(0, n_grp, body, 0)
+
+    return kernel
+
+
+def _kernel_v78(R_pad, G, HT, W, TB, mr, mc):
+    """TRANSPOSED layout (H, T, W): W sits on lanes, T on sublanes. The
+    per-tap weight broadcast becomes a free sublane broadcast (weights are
+    stored (R, HT, 1, W) so no lane<->sublane transpose is needed); dx
+    becomes a dynamic LANE slice. G = tap-group unroll as in v6."""
+    n_grp = R_pad // G
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :, :], (HT, TB, W))
+
+        def body(j, _):
+            r0 = j * G
+            acc = wgt_ref[r0] * x_tile[pl.ds(mr + dy_ref[r0], HT), :,
+                                       pl.ds(mc + dx_ref[r0], W)]
+            for i in range(1, G):
+                r = r0 + i
+                acc = acc + wgt_ref[r] * \
+                    x_tile[pl.ds(mr + dy_ref[r], HT), :,
+                           pl.ds(mc + dx_ref[r], W)]
+            out_ref[:, :, :] = out_ref[:, :, :] + acc
+            return 0
+
+        jax.lax.fori_loop(0, n_grp, body, 0)
+
+    return kernel
+
+
+def _kernel_diag(R, HT, W, TB, mr, mc, use_wgt, use_shift):
+    """DIAGNOSTIC kernels (wrong results on purpose): isolate the per-tap
+    cost. use_wgt=False drops the weight broadcast; use_shift=False reads
+    every tap at (0, 0)."""
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
+                                            (HT, W, TB))
+
+        def body(r, _):
+            if use_shift:
+                tap = x_tile[pl.ds(mr + dy_ref[r], HT),
+                             pl.ds(mc + dx_ref[r], W), :]
+            else:
+                tap = x_tile[mr:mr + HT, mc:mc + W, :]
+            if use_wgt:
+                out_ref[:, :, :] = out_ref[:, :, :] + \
+                    wgt_ref[r][:, :, None] * tap
+            else:
+                out_ref[:, :, :] = out_ref[:, :, :] + tap
+            return 0
+
+        jax.lax.fori_loop(0, R, body, 0)
+
+    return kernel
+
+
 def _kernel_v4(R, HT, W, TB, mr, mc):
     """Current rolled kernel, accumulator as fori carry (value, not ref)."""
 
@@ -147,7 +253,102 @@ def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
     w0 = weights.w0.reshape(H, W)
     grid = (H // HT, T_pad // TB)
 
-    if variant == "v5":
+    if variant in ("v7", "v8"):
+        # transposed layout (H, T, W); lane dim padded to a multiple of 128
+        G = 8 if variant == "v8" else 1
+        R = int(offsets.shape[0])
+        R_pad = -(-R // G) * G
+        Wp = -(-(W + 2 * m) // 128) * 128
+        mc7 = (Wp - W) // 2
+        Xt7 = jnp.moveaxis(X, 0, 1)                   # (H, T, W)
+        Xp7 = jnp.pad(Xt7, ((mr, mr), (0, T_pad - T), (mc7, Wp - W - mc7)))
+        Hp = H + 2 * mr
+        Xp7 = jnp.moveaxis(Xp7.reshape(Hp, T_pad // TB, TB, Wp), 1, 0)
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)[:, :, None, :]
+        wgt = jnp.pad(wgt, ((0, R_pad - R), (0, 0), (0, 0), (0, 0)))
+        w07 = weights.w0.reshape(H, W)[:, None, :]
+        dy = jnp.asarray(np.pad(offsets[:, 0], (0, R_pad - R)), jnp.int32)
+        dx = jnp.asarray(np.pad(offsets[:, 1], (0, R_pad - R)), jnp.int32)
+        out = pl.pallas_call(
+            _kernel_v78(R_pad, G, HT, W, TB, mr, mc7),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((R_pad, HT, 1, W), lambda h, t: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, 1, W), lambda h, t: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, TB, W), lambda h, t: (h, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, T_pad, W), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, TB, Wp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, dx, Xp7, wgt, w07)
+        return jnp.moveaxis(out[:, :T], 1, 0)
+    if variant in ("d1", "d2", "d3"):
+        # d1: shifts without weights; d2: weights without shifts;
+        # d3: neither (floor: R reads + rmw)
+        use_wgt = variant == "d2"
+        use_shift = variant == "d1"
+        R = int(offsets.shape[0])
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
+        dy = jnp.asarray(offsets[:, 0], jnp.int32)
+        dx = jnp.asarray(offsets[:, 1], jnp.int32)
+        out = pl.pallas_call(
+            _kernel_diag(R, HT, W, TB, mr, mc, use_wgt, use_shift),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((R, HT, W), lambda h, t: (0, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, dx, Xpad, wgt, w0)
+        return jnp.moveaxis(out[:, :, :T], -1, 0)
+    if variant == "v6":
+        G = 8
+        R = int(offsets.shape[0])
+        R_pad = -(-R // G) * G
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
+        wgt = jnp.pad(wgt, ((0, R_pad - R), (0, 0), (0, 0)))
+        dy = jnp.asarray(np.pad(offsets[:, 0], (0, R_pad - R)), jnp.int32)
+        dx = jnp.asarray(np.pad(offsets[:, 1], (0, R_pad - R)), jnp.int32)
+        out = pl.pallas_call(
+            _kernel_v6(R_pad, G, HT, W, TB, mr, mc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((R_pad, HT, W), lambda h, t: (0, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, dx, Xpad, wgt, w0)
+    elif variant == "v5":
         wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
         dy = jnp.asarray(offsets[:, 0], jnp.int32)
         dx = jnp.asarray(offsets[:, 1], jnp.int32)
