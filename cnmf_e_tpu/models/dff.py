@@ -30,12 +30,16 @@ def running_percentile(x: jnp.ndarray, window: int, q: float) -> jnp.ndarray:
 
 
 def extract_dff(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
-                window: Optional[int] = None, prctile: float = 50.0
+                window: Optional[int] = None, prctile: float = 50.0,
+                baseline: str = "percentile"
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (C_df, C_raw_df, F0). Y: (T, H, W) raw movie.
 
     F0 is per neuron: the percentile of the footprint-projected background
     (whole-session if ``window`` is None, else a running percentile).
+    ``baseline="mode"`` instead takes the mode of the fluorescence
+    distribution via the Botev diffusion KDE — the reference
+    ``extract_DF_F.m`` path (``ops/kde.py``; host-side, export-time only).
     """
     T, H, W = Y.shape
     K = state.K_max
@@ -45,7 +49,13 @@ def extract_dff(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
     An = A / jnp.maximum(norm, 1e-12)[:, None]
     Ybg = jnp.einsum("kd,td->kt", An, B.reshape(T, H * W))  # (K, T)
 
-    if window is None or window >= T:
+    if baseline == "mode":
+        import numpy as np
+        from cnmf_e_tpu.ops.kde import mode_baseline
+        Ybg_np = np.asarray(Ybg)
+        F0 = jnp.asarray([[mode_baseline(row)] for row in Ybg_np],
+                         Ybg.dtype)
+    elif window is None or window >= T:
         F0 = jnp.percentile(Ybg, prctile, axis=-1)[:, None]
     else:
         F0 = running_percentile(Ybg, window, prctile)

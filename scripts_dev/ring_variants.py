@@ -174,6 +174,70 @@ def _kernel_v78(R_pad, G, HT, W, TB, mr, mc):
     return kernel
 
 
+def _kernel_v9(R, HT, W, TB, mr, mc, Wp):
+    """Transposed layout (H, T, W) with the dx shift as a lane ROTATE
+    (pltpu.roll) — dynamic lane *slices* must be 128-aligned, rotates are
+    not restricted. Weights are (R, HT, 1, W): sublane broadcast, no
+    transpose."""
+
+    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :, :], (HT, TB, W))
+
+        def body(r, _):
+            dy = dy_ref[r]
+            dx = dx_ref[r]
+            tap_full = x_tile[pl.ds(mr + dy, HT), :, :]      # (HT, TB, Wp)
+            # want rolled[w] = tap[w + mc + dx]; pltpu.roll needs a
+            # non-negative shift, so use the congruent Wp - (mc + dx)
+            rolled = pltpu.roll(tap_full, Wp - (mc + dx), 2)
+            out_ref[:, :, :] = out_ref[:, :, :] + \
+                wgt_ref[r] * rolled[:, :, :W]
+            return 0
+
+        jax.lax.fori_loop(0, R, body, 0)
+
+    return kernel
+
+
+def _kernel_v10(groups, HT, W, TB, mr, mc, Wp):
+    """Transposed layout + dx-grouped STATIC rolls: one lane rotate of the
+    full tile per distinct dx (27 for radius 13) instead of one per tap
+    (92), hoisted into scratch; dy slices stay free. Taps must be
+    pre-sorted by dx. groups: [(dx, start, count)] static."""
+
+    def kernel(dy_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile, x_dx, sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :, :], (HT, TB, W))
+
+        for dx, start, count in groups:
+            x_dx[:, :, :] = pltpu.roll(
+                x_tile[:, :, :], Wp - (mc + dx), 2)[:, :, :W]
+
+            def dy_body(i, _, start=start):
+                r = start + i
+                tap = x_dx[pl.ds(mr + dy_ref[r], HT), :, :]
+                out_ref[:, :, :] = out_ref[:, :, :] + wgt_ref[r] * tap
+                return 0
+
+            jax.lax.fori_loop(0, count, dy_body, 0)
+
+    return kernel
+
+
 def _kernel_diag(R, HT, W, TB, mr, mc, use_wgt, use_shift):
     """DIAGNOSTIC kernels (wrong results on purpose): isolate the per-tap
     cost. use_wgt=False drops the weight broadcast; use_shift=False reads
@@ -253,7 +317,51 @@ def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
     w0 = weights.w0.reshape(H, W)
     grid = (H // HT, T_pad // TB)
 
-    if variant in ("v7", "v8"):
+    if variant == "v10":
+        HT10 = 32 if H % 32 == 0 else HT
+        Wp = -(-(W + 2 * m) // 128) * 128
+        mc10 = (Wp - W) // 2
+        order = np.lexsort((offsets[:, 0], offsets[:, 1]))
+        offs_s = offsets[order]
+        groups = []
+        i = 0
+        while i < len(offs_s):
+            j = i
+            while j < len(offs_s) and offs_s[j, 1] == offs_s[i, 1]:
+                j += 1
+            groups.append((int(offs_s[i, 1]), i, j - i))
+            i = j
+        Xt7 = jnp.moveaxis(X, 0, 1)
+        Xp7 = jnp.pad(Xt7, ((mr, mr), (0, T_pad - T), (mc10, Wp - W - mc10)))
+        Hp = H + 2 * mr
+        Xp7 = jnp.moveaxis(Xp7.reshape(Hp, T_pad // TB, TB, Wp), 1, 0)
+        wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)[order]
+        wgt = wgt[:, :, None, :]
+        w07 = weights.w0.reshape(H, W)[:, None, :]
+        dy = jnp.asarray(offs_s[:, 0], jnp.int32)
+        R = int(offsets.shape[0])
+        out = pl.pallas_call(
+            _kernel_v10(groups, HT10, W, TB, mr, mc10, Wp),
+            grid=(H // HT10, T_pad // TB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((R, HT10, 1, W), lambda h, t: (0, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT10, 1, W), lambda h, t: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT10, TB, W), lambda h, t: (h, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, T_pad, W), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT10 + 2 * mr, TB, Wp), jnp.float32),
+                pltpu.VMEM((HT10 + 2 * mr, TB, W), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, Xp7, wgt, w07)
+        return jnp.moveaxis(out[:, :T], 1, 0)
+    if variant in ("v7", "v8", "v9"):
         # transposed layout (H, T, W); lane dim padded to a multiple of 128
         G = 8 if variant == "v8" else 1
         R = int(offsets.shape[0])
@@ -269,8 +377,11 @@ def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
         w07 = weights.w0.reshape(H, W)[:, None, :]
         dy = jnp.asarray(np.pad(offsets[:, 0], (0, R_pad - R)), jnp.int32)
         dx = jnp.asarray(np.pad(offsets[:, 1], (0, R_pad - R)), jnp.int32)
+        kern = (_kernel_v9(R_pad, HT, W, TB, mr, mc7, Wp)
+                if variant == "v9"
+                else _kernel_v78(R_pad, G, HT, W, TB, mr, mc7))
         out = pl.pallas_call(
-            _kernel_v78(R_pad, G, HT, W, TB, mr, mc7),
+            kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
