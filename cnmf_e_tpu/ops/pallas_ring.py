@@ -6,26 +6,38 @@ The XLA fallback materializes R shifted slices of the movie; this kernel
 keeps one input tile resident in VMEM and accumulates all R taps on the VPU
 — one HBM read of the movie instead of R.
 
-Key Mosaic consideration: slices at arbitrary offsets along the *tiled*
-(last two) dims force vector relayouts whose compile time explodes with the
-tap count. So the kernel runs in a TRANSPOSED layout, (H, W, T): time sits
-on the (aligned) lane axis, the row offset dy lands on the untiled outer
-axis (free), and taps are grouped by column offset dx so only ~2m+1 sublane
-shifts remain instead of R.
+Layout (measured on v5e; see the variant log below): the kernel runs
+TRANSPOSED, (H, T, W) — W on the lane axis, T on sublanes, the row offset
+dy on the untiled outer axis (a free dynamic slice). Two hardware facts
+shape this:
 
-Variants measured and REJECTED on v5e (scripts_dev/ring_variants.py), for
-the record — the rolled loop below is within ~2x of the VPU read floor and
-none of these beat it:
-  * full static unroll with accumulator chaining: Mosaic materializes every
-    tap product in scoped VMEM (R ~ 92 -> 95 MB OOM), same failure as the
-    original unrolled loop;
-  * dx-grouped hoisting (one sublane slice per distinct dx): the hoisted
-    full-height copy costs as much traffic as it saves (106 vs 97 ms);
-  * accumulator as fori-loop carry instead of out_ref rmw: slower (118 ms)
-    — Mosaic's rmw on a ref is already optimal;
-  * bf16 movie tile (half the tap-read traffic): dynamic sublane offsets
-    must be provably multiples of 8 for packed dtypes — arbitrary ring
-    offsets cannot satisfy that; TB=256 lane blocks: scoped-VMEM OOM.
+  * the per-tap weight must broadcast against the tap without a
+    lane<->sublane transpose. Weights are stored (HT, R, W) — W already on
+    lanes, R on sublanes — so ``wgt[:, r:r+1, :]`` broadcasts over the T
+    sublanes for free. (In the older (H, W, T) layout this broadcast was a
+    relayout per tap and dominated the kernel: 97 ms total vs 53 ms with
+    the weight multiply removed.)
+  * dynamic lane *slices* must be 128-aligned on TPU, but lane ROTATES
+    (``pltpu.roll``) take any shift. The dx offset is therefore a
+    WRAPAROUND roll over exactly W lanes — no width padding. Wraparound
+    reads are harmless because out-of-FOV tap weights are zeroed here
+    (``fit_ring_weights`` already returns them as 0; we re-mask for
+    arbitrary callers), which reproduces the XLA zero-pad semantics
+    exactly.
+
+Variant log (256x256x2000, radius 13, R=92, v5e), kept so future rounds
+don't re-walk dead ends:
+  * (H, W, T) rolled loop, dynamic sublane slices      96.9 ms  (old kernel)
+  * + full static unroll: ~R live temporaries          OOM (95 MB scoped)
+  * + dx-grouped hoisting (v2)                        106 ms
+  * + accumulator as fori carry (v4)                  118 ms
+  * + tap groups of 8 per out_ref rmw (v6)            100 ms
+  * bf16 movie tile: packed dtypes need 8-aligned dynamic sublane offsets
+  * diagnostics: no-weights 53 ms / no-shifts 97 ms -> weight relayout
+    was the bottleneck, shifts nearly free
+  * transposed + per-tap roll over padded Wp=384 (v9)  82 ms
+  * transposed + dx-grouped rolls, HT=32 (v10)         OOM (16 MB scoped)
+  * transposed + WRAPAROUND roll over W=256 (v11)      67.8 ms  (this file)
 """
 
 from __future__ import annotations
@@ -38,41 +50,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cnmf_e_tpu.ops.ring import RingWeights, ring_offsets
+from cnmf_e_tpu.ops.ring import RingWeights, _neighbor_index, ring_offsets
 
 
-def _ring_kernel_T(R, HT, W, TB, mr, mc):
-    """Kernel in (H, W, T) layout. x_tile: (HT+2mr, W+2mc, TB).
+def _ring_kernel(R, HT, W, TB, mr):
+    """x_tile: (HT+2mr, TB, W) in the (H, T, W) layout; weights
+    (HT, R_pad, W); w0 (HT, 1, W). The tap loop is ROLLED (offsets in
+    SMEM): an unrolled loop keeps ~R out-tile-sized temporaries live and
+    blows the 16 MB scoped-VMEM budget."""
 
-    The tap loop is ROLLED (``fori_loop`` with the offsets read from SMEM):
-    an unrolled loop keeps ~R out-tile-sized temporaries live and blows the
-    scoped-VMEM budget (R ~ 92 -> ~95 MB). Row offsets land on the untiled
-    outer axis (free dynamic slice); column offsets are one dynamic sublane
-    slice per tap.
-    """
-
-    def kernel(dy_ref, dx_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+    def kernel(dy_ref, shift_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
                sem):
         h = pl.program_id(0)
         t = pl.program_id(1)
-        # x_hbm is pre-blocked (n_tb, Hp, Wp, TB): a scalar t index + one
-        # row dynamic-slice keeps the DMA from materializing a full-T
-        # intermediate (two ds dims made Mosaic stage a (rows, Wp, T) copy)
+        # x_hbm is pre-blocked (n_tb, Hp, TB, W): scalar t index + one row
+        # dynamic-slice; the copied region is full in the tiled dims
         copy = pltpu.make_async_copy(
-            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :],
-            x_tile, sem)
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
         copy.start()
         copy.wait()
 
-        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :][:, :, None],
-                                            (HT, W, TB))
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :, :], (HT, TB, W))
 
         def body(r, _):
             dy = dy_ref[r]
-            dx = dx_ref[r]
-            tap = x_tile[pl.ds(mr + dy, HT), pl.ds(mc + dx, W), :]
+            tap = x_tile[pl.ds(mr + dy, HT), :, :]           # (HT, TB, W)
+            rolled = pltpu.roll(tap, shift_ref[r], 2)
             out_ref[:, :, :] = out_ref[:, :, :] + \
-                wgt_ref[r][:, :, None] * tap
+                wgt_ref[:, pl.ds(r, 1), :] * rolled
             return 0
 
         jax.lax.fori_loop(0, R, body, 0)
@@ -84,14 +89,14 @@ def _ring_kernel_T(R, HT, W, TB, mr, mc):
                    static_argnames=("H", "W", "radius", "interpret"))
 def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
                       radius: int, interpret: bool = False) -> jnp.ndarray:
-    """Pallas ring apply. X: (T, H, W) -> (T, H, W) (includes intercept)."""
+    """Pallas ring apply. X: (T, H, W) -> (T, H, W) (includes intercept).
+
+    Semantically identical to ``ops.ring.apply_ring`` for ANY weights:
+    out-of-FOV taps contribute zero (weights re-masked host-side, so the
+    wraparound roll never leaks opposite-edge data)."""
     offsets = ring_offsets(radius)
-    m = int(np.abs(offsets).max())
-    # alignment: in (H, W, T) layout the tiled dims are (W+2mc, T-block).
-    # DMA slice shapes must align to (8, 128): keep W+2mc a multiple of 8
-    # and always move full 128-frame lane blocks; rows (dim 0) are untiled.
-    mc = -(-m // 4) * 4
-    mr = m
+    R = int(offsets.shape[0])
+    mr = int(np.abs(offsets).max())
     T = X.shape[0]
     TB = 128
     T_pad = -(-T // TB) * TB
@@ -101,23 +106,27 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
         HT //= 2
     assert HT >= 1
 
-    Xt = jnp.moveaxis(X, 0, -1)                       # (H, W, T)
-    Xpad = jnp.pad(Xt, ((mr, mr), (mc, mc), (0, T_pad - T)))
-    # pre-block time: (n_tb, Hp, Wp, TB)
-    Hp, Wp = H + 2 * mr, W + 2 * mc
-    Xpad = jnp.moveaxis(
-        Xpad.reshape(Hp, Wp, T_pad // TB, TB), 2, 0)
-    # weights laid out (R, H, W): the per-tap index r lands on the untiled
-    # leading axis (a lane-dim index would need 128-aligned slicing)
-    wgt = jnp.moveaxis(weights.w.reshape(H, W, -1), -1, 0)
-    w0 = weights.w0.reshape(H, W)
+    # zero out-of-FOV tap weights (fit_ring_weights already does; re-mask
+    # so arbitrary weights keep exact zero-pad semantics under wraparound)
+    _, valid = _neighbor_index(H, W, offsets)
+    w_masked = weights.w * jnp.asarray(valid, weights.w.dtype)
+
+    Xt = jnp.moveaxis(X, 0, 1)                        # (H, T, W)
+    Xp = jnp.pad(Xt, ((mr, mr), (0, T_pad - T), (0, 0)))
+    Hp = H + 2 * mr
+    Xp = jnp.moveaxis(Xp.reshape(Hp, T_pad // TB, TB, W), 1, 0)
+
+    R_pad = -(-R // 8) * 8
+    wgt = jnp.moveaxis(w_masked.reshape(H, W, R), -1, 1)   # (H, R, W)
+    wgt = jnp.pad(wgt, ((0, 0), (0, R_pad - R), (0, 0)))
+    w0 = weights.w0.reshape(H, W)[:, None, :]               # (H, 1, W)
 
     dy = jnp.asarray(offsets[:, 0], jnp.int32)
-    dx = jnp.asarray(offsets[:, 1], jnp.int32)
+    shifts = jnp.asarray((-offsets[:, 1]) % W, jnp.int32)
 
     grid = (H // HT, T_pad // TB)
     out = pl.pallas_call(
-        _ring_kernel_T(int(offsets.shape[0]), HT, W, TB, mr, mc),
+        _ring_kernel(R, HT, W, TB, mr),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -125,22 +134,21 @@ def apply_ring_pallas(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
             # the movie must stay in HBM (ANY lets the compiler pick VMEM,
             # which OOMs as soon as the movie outgrows it)
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((offsets.shape[0], HT, W),
-                         lambda h, t: (0, h, 0),
+            pl.BlockSpec((HT, R_pad, W), lambda h, t: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HT, W), lambda h, t: (h, 0),
+            pl.BlockSpec((HT, 1, W), lambda h, t: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((HT, W, TB), lambda h, t: (h, 0, t),
+        out_specs=pl.BlockSpec((HT, TB, W), lambda h, t: (h, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W, T_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, T_pad, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((HT + 2 * mr, W + 2 * mc, TB), jnp.float32),
+            pltpu.VMEM((HT + 2 * mr, TB, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(dy, dx, Xpad, wgt, w0)
-    return jnp.moveaxis(out[:, :, :T], -1, 0)
+    )(dy, shifts, Xp, wgt, w0)
+    return jnp.moveaxis(out[:, :T], 1, 0)
 
 
 def ring_apply_auto(weights: RingWeights, X: jnp.ndarray, H: int, W: int,

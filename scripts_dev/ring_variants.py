@@ -238,6 +238,38 @@ def _kernel_v10(groups, HT, W, TB, mr, mc, Wp):
     return kernel
 
 
+def _kernel_v11(R, HT, W, TB, mr):
+    """Transposed layout (H, T, W), NO width padding: the dx shift is a
+    WRAPAROUND lane roll on exactly W lanes. Out-of-FOV contributions are
+    killed by zeroing the border weights host-side (same semantics as the
+    XLA zero-pad form). Weights live as (HT, R, W) blocks: R on sublanes —
+    no pad waste, and wgt[:, r:r+1, :] broadcasts over TB sublanes for
+    free."""
+
+    def kernel(dy_ref, shift_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile,
+               sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :, :], (HT, TB, W))
+
+        def body(r, _):
+            dy = dy_ref[r]
+            tap = x_tile[pl.ds(mr + dy, HT), :, :]           # (HT, TB, W)
+            rolled = pltpu.roll(tap, shift_ref[r], 2)
+            out_ref[:, :, :] = out_ref[:, :, :] + \
+                wgt_ref[:, pl.ds(r, 1), :] * rolled
+            return 0
+
+        jax.lax.fori_loop(0, R, body, 0)
+
+    return kernel
+
+
 def _kernel_diag(R, HT, W, TB, mr, mc, use_wgt, use_shift):
     """DIAGNOSTIC kernels (wrong results on purpose): isolate the per-tap
     cost. use_wgt=False drops the weight broadcast; use_shift=False reads
@@ -317,6 +349,43 @@ def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
     w0 = weights.w0.reshape(H, W)
     grid = (H // HT, T_pad // TB)
 
+    if variant in ("v11", "v11h16"):
+        HT11 = 16 if (variant == "v11h16" and H % 16 == 0) else HT
+        R = int(offsets.shape[0])
+        from cnmf_e_tpu.ops.ring import _neighbor_index
+        _, valid = _neighbor_index(H, W, offsets)
+        w_masked = weights.w * jnp.asarray(valid, weights.w.dtype)
+        Xt = jnp.moveaxis(X, 0, 1)                        # (H, T, W)
+        Xp = jnp.pad(Xt, ((mr, mr), (0, T_pad - T), (0, 0)))
+        Hp = H + 2 * mr
+        Xp = jnp.moveaxis(Xp.reshape(Hp, T_pad // TB, TB, W), 1, 0)
+        R_pad = -(-R // 8) * 8
+        wgt = jnp.moveaxis(w_masked.reshape(H, W, R), -1, 1)  # (H, R, W)
+        wgt = jnp.pad(wgt, ((0, 0), (0, R_pad - R), (0, 0)))
+        w011 = weights.w0.reshape(H, W)[:, None, :]
+        dy = jnp.asarray(offsets[:, 0], jnp.int32)
+        shifts = jnp.asarray((-offsets[:, 1]) % W, jnp.int32)
+        out = pl.pallas_call(
+            _kernel_v11(R, HT11, W, TB, mr),
+            grid=(H // HT11, T_pad // TB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((HT11, R_pad, W), lambda h, t: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT11, 1, W), lambda h, t: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT11, TB, W), lambda h, t: (h, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, T_pad, W), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT11 + 2 * mr, TB, W), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, shifts, Xp, wgt, w011)
+        return jnp.moveaxis(out[:, :T], 1, 0)
     if variant == "v10":
         HT10 = 32 if H % 32 == 0 else HT
         Wp = -(-(W + 2 * m) // 128) * 128
