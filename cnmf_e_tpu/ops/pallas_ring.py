@@ -38,6 +38,9 @@ don't re-walk dead ends:
   * transposed + per-tap roll over padded Wp=384 (v9)  82 ms
   * transposed + dx-grouped rolls, HT=32 (v10)         OOM (16 MB scoped)
   * transposed + WRAPAROUND roll over W=256 (v11)      67.8 ms  (this file)
+  * v11 + HT=16                                        72.5 ms
+  * v11 + dx-grouped hoisted rolls (v12)               84.6 ms — the
+    scratch round-trip costs more than the per-tap rolls it saves
 """
 
 from __future__ import annotations

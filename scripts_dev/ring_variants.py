@@ -270,6 +270,36 @@ def _kernel_v11(R, HT, W, TB, mr):
     return kernel
 
 
+def _kernel_v12(groups, HT, W, TB, mr):
+    """v11 + dx-grouped rolls: one static wraparound roll of the full tile
+    per distinct dx (27 for radius 13) hoisted into scratch, instead of one
+    roll per tap (92). Taps pre-sorted by dx; weights as (HT, R, W)."""
+
+    def kernel(dy_ref, x_hbm, wgt_ref, w0_ref, out_ref, x_tile, x_dx, sem):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(h * HT, HT + 2 * mr), :, :], x_tile, sem)
+        copy.start()
+        copy.wait()
+
+        out_ref[:, :, :] = jnp.broadcast_to(w0_ref[:, :, :], (HT, TB, W))
+
+        for dx, start, count in groups:
+            x_dx[:, :, :] = pltpu.roll(x_tile[:, :, :], (-dx) % W, 2)
+
+            def dy_body(i, _, start=start):
+                r = start + i
+                tap = x_dx[pl.ds(mr + dy_ref[r], HT), :, :]
+                out_ref[:, :, :] = out_ref[:, :, :] + \
+                    wgt_ref[:, pl.ds(r, 1), :] * tap
+                return 0
+
+            jax.lax.fori_loop(0, count, dy_body, 0)
+
+    return kernel
+
+
 def _kernel_diag(R, HT, W, TB, mr, mc, use_wgt, use_shift):
     """DIAGNOSTIC kernels (wrong results on purpose): isolate the per-tap
     cost. use_wgt=False drops the weight broadcast; use_shift=False reads
@@ -349,6 +379,51 @@ def apply_ring_variant(weights, X, H, W, radius, variant="v3", TB=128):
     w0 = weights.w0.reshape(H, W)
     grid = (H // HT, T_pad // TB)
 
+    if variant == "v12":
+        R = int(offsets.shape[0])
+        from cnmf_e_tpu.ops.ring import _neighbor_index
+        _, valid = _neighbor_index(H, W, offsets)
+        order = np.lexsort((offsets[:, 0], offsets[:, 1]))
+        offs_s = offsets[order]
+        groups = []
+        i = 0
+        while i < len(offs_s):
+            j = i
+            while j < len(offs_s) and offs_s[j, 1] == offs_s[i, 1]:
+                j += 1
+            groups.append((int(offs_s[i, 1]), i, j - i))
+            i = j
+        w_masked = (weights.w * jnp.asarray(valid, weights.w.dtype))[:, order]
+        Xt = jnp.moveaxis(X, 0, 1)
+        Xp = jnp.pad(Xt, ((mr, mr), (0, T_pad - T), (0, 0)))
+        Hp = H + 2 * mr
+        Xp = jnp.moveaxis(Xp.reshape(Hp, T_pad // TB, TB, W), 1, 0)
+        R_pad = -(-R // 8) * 8
+        wgt = jnp.moveaxis(w_masked.reshape(H, W, R), -1, 1)
+        wgt = jnp.pad(wgt, ((0, 0), (0, R_pad - R), (0, 0)))
+        w011 = weights.w0.reshape(H, W)[:, None, :]
+        dy = jnp.asarray(offs_s[:, 0], jnp.int32)
+        out = pl.pallas_call(
+            _kernel_v12(groups, HT, W, TB, mr),
+            grid=(H // HT, T_pad // TB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((HT, R_pad, W), lambda h, t: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HT, 1, W), lambda h, t: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HT, TB, W), lambda h, t: (h, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, T_pad, W), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HT + 2 * mr, TB, W), jnp.float32),
+                pltpu.VMEM((HT + 2 * mr, TB, W), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(dy, Xp, wgt, w011)
+        return jnp.moveaxis(out[:, :T], 1, 0)
     if variant in ("v11", "v11h16"):
         HT11 = 16 if (variant == "v11h16" and H % 16 == 0) else HT
         R = int(offsets.shape[0])
