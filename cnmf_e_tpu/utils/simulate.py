@@ -95,23 +95,36 @@ def simulate_movie(seed: int = 0, H: int = 64, W: int = 64, T: int = 1000,
     C, S = ar1_traces(rng, K, T, g=g, rate=spike_rate)
 
     b0 = baseline * (0.5 + smooth_field(rng, H, W, scale=max(H, W) / 2))
-    # fluctuating background: two smooth spatial modes x slow temporal modes
-    Bf = np.zeros((T, H, W))
-    for _ in range(2):
+    # fluctuating background: two smooth spatial modes x slow temporal
+    # modes, synthesized as one rank-2 float32 GEMM (a float64 outer()
+    # per mode costs ~5 passes over a T*H*W array at 8 bytes — the
+    # generation bottleneck for 512x512x10k movies)
+    drives = np.zeros((2, T), np.float32)
+    profs = np.zeros((2, H * W), np.float32)
+    for i in range(2):
         prof = smooth_field(rng, H, W, scale=max(H, W) / 3)
         tau = rng.uniform(50, 200)
         drive = np.convolve(rng.standard_normal(T),
                             np.exp(-np.arange(200) / tau), mode="same")
         drive /= max(np.abs(drive).max(), 1e-12)
-        Bf += bg_strength * np.outer(drive, prof.ravel()).reshape(T, H, W)
+        drives[i] = drive
+        profs[i] = bg_strength * prof.ravel()
+    Bf = (drives.T @ profs).reshape(T, H, W)
 
     # C^T @ A_flat routes through BLAS (einsum "khw,kt->thw" does not and
     # becomes the bottleneck for large movies)
     Y = (C.T.astype(np.float32) @ A.reshape(K, H * W).astype(np.float32)
          ).reshape(T, H, W)
-    Y += b0[None] + Bf
-    Y += (sn * rng.standard_normal((T, H, W))).astype(np.float32)
-    return GroundTruth(Y=Y.astype(np.float32), A=A.astype(np.float32),
-                       C=C.astype(np.float32), S=S.astype(np.float32),
-                       b0=b0.astype(np.float32), Bf=Bf.astype(np.float32),
+    Y += b0[None].astype(np.float32) + Bf
+    rows = max(1, (1 << 26) // (H * W))   # chunk noise gen: float32, bounded
+    for t0 in range(0, T, rows):
+        t1 = min(t0 + rows, T)
+        Y[t0:t1] += sn * rng.standard_normal(
+            (t1 - t0, H, W)).astype(np.float32)
+    return GroundTruth(Y=Y.astype(np.float32, copy=False),
+                       A=A.astype(np.float32, copy=False),
+                       C=C.astype(np.float32, copy=False),
+                       S=S.astype(np.float32, copy=False),
+                       b0=b0.astype(np.float32, copy=False),
+                       Bf=Bf.astype(np.float32, copy=False),
                        centers=centers, g=g, sn=sn)
