@@ -79,15 +79,52 @@ def _box_indices(A: jnp.ndarray, H: int, W: int, box: int):
     return idx, y0, x0
 
 
-def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
-                     radius: int, n_hals: int = 2,
-                     deconv: Optional[DeconvParams] = None,
-                     smin: float = -3.0,
-                     crop_box: Optional[int] = None):
-    """Build the jitted update step for a given mesh (None = single device).
+def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
+                       radius: int):
+    """Build the jitted background projection ``proj(Y, state) -> Pmov``.
 
-    Returns step(Y, state) -> state. All shapes static; K must divide the
-    'patch' axis size when a mesh is given (pad K_max accordingly).
+    Pmov = (Y - b0) - W(Y - b0) - w0 is the movie passed through the
+    implicit-background operator. It depends only on Y, b0 and the ring
+    weights — all of which are constant BETWEEN background updates (the
+    reference likewise snapshots A_prev/C_prev at the bg stage and holds
+    B fixed through the following spatial/temporal updates,
+    ``update_background_parallel.m:311-317``) — so a pipeline computes it
+    once per background refresh and amortizes the movie-sized stencil over
+    every HALS iteration in between (see ``make_hals_iteration``).
+    """
+
+    def constraint(x, spec):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec))
+
+    def proj(Y: jnp.ndarray, st: StepState) -> jnp.ndarray:
+        Y = constraint(Y, P("frame", "patch", None))
+        weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
+        Q = Y - st.b0[None]
+        if mesh is None:
+            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
+            WQ = ring_apply_auto(weights, Q, H, W, radius)   # W(Q) + w0
+        else:
+            WQ = apply_ring(weights, Q, H, W, radius)
+        return constraint(Q - WQ, P("frame", "patch", None))  # (T, H, W)
+
+    return jax.jit(proj)
+
+
+def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
+                        radius: int, n_hals: int = 2,
+                        deconv: Optional[DeconvParams] = None,
+                        smin: float = -3.0,
+                        crop_box: Optional[int] = None):
+    """Build the jitted HALS iteration ``iterate(Pmov, state) -> state``.
+
+    Takes the precomputed background projection ``Pmov`` (see
+    ``make_bg_projection``); only the K-footprint stencil GA = W(a_k)
+    (~K/T the cost of the movie stencil) is recomputed per iteration.
+    All shapes static; K must divide the 'patch' axis size when a mesh is
+    given (pad K_max accordingly).
 
     ``crop_box``: evaluate the HALS Grams on a crop_box^2 box around each
     footprint peak and constrain footprints to it (search-location
@@ -104,23 +141,14 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def step(Y: jnp.ndarray, st: StepState) -> StepState:
-        Y = constraint(Y, P("frame", "patch", None))
+    def iterate(Pmov: jnp.ndarray, st: StepState) -> StepState:
+        Pmov = constraint(Pmov, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
         K = A.shape[0]
 
-        # ---- background operator, applied once to data and footprints --- #
-        # Ysig = Y - B,  B = W(Y - b0 - A C) + w0 + b0
-        #      = P + GA @ C,  P = (Y-b0) - W(Y-b0) - w0,  GA[k] = W(a_k)
+        # Ysig = Y - B = Pmov + GA @ C,  GA[k] = W(a_k)
         weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
-        Q = Y - st.b0[None]
-        if mesh is None:
-            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
-            WQ = ring_apply_auto(weights, Q, H, W, radius)   # W(Q) + w0
-        else:
-            WQ = apply_ring(weights, Q, H, W, radius)
-        Pmov = Q - WQ                                        # (T, H, W)
         GA = apply_ring(weights, A, H, W, radius,
                         include_intercept=False)             # (K, H, W)
 
@@ -193,4 +221,28 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
 
     # NOTE: no donate_argnums — buffer donation triggers pathological
     # recompiles/serialization on the axon-tunneled TPU platform
+    return jax.jit(iterate)
+
+
+def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
+                     radius: int, n_hals: int = 2,
+                     deconv: Optional[DeconvParams] = None,
+                     smin: float = -3.0,
+                     crop_box: Optional[int] = None):
+    """Build the fused jitted update step ``step(Y, state) -> state``
+    (background projection + HALS iteration in one program).
+
+    Convenience/compat entry: pipelines that run several HALS iterations
+    per background refresh should use ``make_bg_projection`` +
+    ``make_hals_iteration`` instead so the movie-sized stencil is paid
+    once per refresh, not once per iteration.
+    """
+    proj = make_bg_projection(mesh, H, W, T, radius)
+    iterate = make_hals_iteration(mesh, H, W, T, radius, n_hals=n_hals,
+                                  deconv=deconv, smin=smin,
+                                  crop_box=crop_box)
+
+    def step(Y: jnp.ndarray, st: StepState) -> StepState:
+        return iterate(proj(Y, st), st)
+
     return jax.jit(step)

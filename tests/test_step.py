@@ -99,3 +99,22 @@ def test_box_indices_clip_inside_fov():
     assert int(y0[0]) == 0 and int(x0[0]) == 0
     assert int(x0[1]) == 8
     assert int(jnp.max(idx)) < 256 and int(jnp.min(idx)) >= 0
+
+
+def test_split_projection_iteration_matches_fused(problem):
+    """proj + iterate (the amortized pipeline form) == the fused step."""
+    from cnmf_e_tpu.parallel.step import (
+        make_bg_projection, make_hals_iteration)
+    H, W, T, K, radius, Y, st = problem
+    fused = make_update_step(None, H, W, T, radius=radius, n_hals=1)
+    proj = make_bg_projection(None, H, W, T, radius=radius)
+    iterate = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1)
+    ref = fused(Y, st)
+    Pm = proj(Y, st)
+    out = iterate(Pm, st)
+    np.testing.assert_allclose(out.A, ref.A, atol=1e-6)
+    np.testing.assert_allclose(out.C, ref.C, atol=1e-6)
+    # chaining: P stays valid across iterations (b0/ring_w unchanged)
+    ref2 = fused(Y, ref)
+    out2 = iterate(Pm, out)
+    np.testing.assert_allclose(out2.C, ref2.C, atol=1e-5)
