@@ -298,9 +298,16 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
     bc = lambda x: jnp.broadcast_to(jnp.asarray(x, yf.dtype), batch_shape).reshape(-1)
 
     from cnmf_e_tpu.ops.pallas_oasis import (oasis_ar1_pallas,
+                                             oasis_ar1_pallas_dc,
                                              oasis_pallas_supported)
     if jax.default_backend() in ("tpu", "axon") and oasis_pallas_supported(T):
-        c, s = oasis_ar1_pallas(yf, bc(g), bc(lam), bc(smin))
+        if 256 < T <= 3072:
+            # two-pass divide-and-conquer: chunk-local kernel (narrow
+            # spill masks) + pool-granularity cross-chunk kernel (trip
+            # count = surviving pools << T) — ~3x the single-pass kernel
+            c, s = oasis_ar1_pallas_dc(yf, bc(g), bc(lam), bc(smin))
+        else:
+            c, s = oasis_ar1_pallas(yf, bc(g), bc(lam), bc(smin))
         return c.reshape(y.shape), s.reshape(y.shape)
     if chunk and T > chunk:
         # pad to a chunk multiple with huge values: a sample far above any

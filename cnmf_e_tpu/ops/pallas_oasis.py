@@ -168,6 +168,283 @@ def _oasis_pools_pallas(vinit: jnp.ndarray, g: jnp.ndarray,
     return v.T, w.T, ts.T, ln.T, n[0]
 
 
+def _pool_event_kernel(P_in, P_out, B, PL=128):
+    """Pool-granularity event loop: push an ordered list of PRE-MERGED pools
+    per lane (instead of raw samples) and resolve violations. This is the
+    cross-chunk pass of the divide-and-conquer path: its trip count is
+    max-over-lanes of the surviving pool count — typically a small fraction
+    of T — and pool merging is confluent (PAVA), so the result matches the
+    sample-level loop exactly (same property the XLA DC path relies on,
+    reference ``oasisAR1.m:59-109``)."""
+
+    def kernel(nmax_ref, g_ref, smin_ref, nin_ref, v0_hbm, w0_hbm, ts0_hbm,
+               l0_hbm, v_ref, w_ref, ts_ref, ln_ref, n_ref,
+               pv, pw, pts, pln, sv, sw, st, sl):
+        # Input pools stream from HBM through small (PL, B) VMEM panels —
+        # NO buffer aliasing (in-place read-modify-write of a pallas
+        # output miscompiles on the axon platform, same pathology as
+        # donate_argnums) and no P_in-sized VMEM input block.
+        blk = pl.program_id(0)
+        g = g_ref[0, :]                      # (B,)
+        smin = smin_ref[0, :]
+        n_in = nin_ref[0, :]                 # (B,) valid input pools per lane
+        logg = jnp.log(jnp.maximum(g, 1e-10))
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (P_out, B), 0)
+
+        zf = jnp.zeros((B,), jnp.float32)
+        zi = jnp.zeros((B,), jnp.int32)
+
+        v_ref[:, :] = jnp.zeros((P_out, B), jnp.float32)
+        w_ref[:, :] = jnp.ones((P_out, B), jnp.float32)
+        ts_ref[:, :] = jnp.zeros((P_out, B), jnp.int32)
+        ln_ref[:, :] = jnp.zeros((P_out, B), jnp.int32)
+
+        def spill(ref, val, depth, do):
+            m = (rowid == depth[None, :]) & do[None, :]
+            ref[:, :] = jnp.where(m, val[None, :].astype(ref.dtype),
+                                  ref[:, :])
+
+        def fill(ref, depth):
+            m = rowid == depth[None, :]
+            return jnp.sum(jnp.where(m, ref[:, :], 0), axis=0)
+
+        def violated(c):
+            vt, wt, tt, lt, vs, ws, tss, ls, n = c
+            vp = jnp.maximum(vs / ws, 0.0)
+            gl = jnp.exp(logg * ls.astype(jnp.float32))
+            return (n >= 2) & (vt / wt < vp * gl + smin)
+
+        def merge_all(carry):
+            def cond(c):
+                return jnp.sum(violated(c).astype(jnp.int32)) > 0
+
+            def body(c):
+                vt, wt, tt, lt, vs, ws, tss, ls, n = c
+                do = violated(c)
+                gl = jnp.exp(logg * ls.astype(jnp.float32))
+                vm = vs + vt * gl
+                wm = ws + wt * gl * gl
+                lm = ls + lt
+                d3 = jnp.maximum(n - 3, 0)
+                vf = fill(v_ref, d3)
+                wf = fill(w_ref, d3)
+                tf = fill(ts_ref, d3)
+                lf = fill(ln_ref, d3)
+                vt = jnp.where(do, vm, vt)
+                wt = jnp.where(do, wm, wt)
+                tt = jnp.where(do, tss, tt)
+                lt = jnp.where(do, lm, lt)
+                has3 = do & (n >= 3)
+                vs = jnp.where(has3, vf, vs)
+                ws = jnp.where(has3, jnp.maximum(wf, 1e-20), ws)
+                tss = jnp.where(has3, tf, tss)
+                ls = jnp.where(has3, lf, ls)
+                n = jnp.where(do, n - 1, n)
+                return (vt, wt, tt, lt, vs, ws, tss, ls, n)
+
+            return jax.lax.while_loop(cond, body, carry)
+
+        def push_in_panel(j, state):
+            base, carry = state
+            vt, wt, tt, lt, vs, ws, tss, ls, n = carry
+            i = base + j
+            live = i < n_in                  # (B,) lanes still consuming
+            vn = pv[j, :]
+            wn = pw[j, :]
+            tn = pts[j, :]
+            ln_new = pln[j, :]
+            do = live & (n >= 2)
+            d2 = jnp.maximum(n - 2, 0)
+            spill(v_ref, vs, d2, do)
+            spill(w_ref, ws, d2, do)
+            spill(ts_ref, tss, d2, do)
+            spill(ln_ref, ls, d2, do)
+            carry = (jnp.where(live, vn, vt),
+                     jnp.where(live, wn, wt),
+                     jnp.where(live, tn, tt),
+                     jnp.where(live, ln_new, lt),
+                     jnp.where(live, vt, vs),
+                     jnp.where(live, wt, ws),
+                     jnp.where(live, tt, tss),
+                     jnp.where(live, lt, ls),
+                     n + live.astype(jnp.int32))
+            return (base, merge_all(carry))
+
+        # per-block event bound from SMEM (a cross-lane max inside the
+        # kernel is the kind of reduction Mosaic handles unreliably)
+        n_max = nmax_ref[blk]
+
+        def panel(p, carry):
+            base = p * PL
+            cps = [pltpu.make_async_copy(h.at[blk, pl.ds(base, PL), :],
+                                         buf, sem)
+                   for h, buf, sem in ((v0_hbm, pv, sv), (w0_hbm, pw, sw),
+                                       (ts0_hbm, pts, st),
+                                       (l0_hbm, pln, sl))]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            m = jnp.minimum(PL, n_max - base)
+            _, carry = jax.lax.fori_loop(0, m, push_in_panel, (base, carry))
+            return carry
+
+        carry0 = (zf, jnp.ones((B,), jnp.float32), zi, zi,
+                  zf, jnp.ones((B,), jnp.float32), zi, zi, zi)
+        n_panels = (n_max + PL - 1) // PL
+        vt, wt, tt, lt, vs, ws, tss, ls, n = jax.lax.fori_loop(
+            0, n_panels, panel, carry0)
+
+        spill(v_ref, vs, jnp.maximum(n - 2, 0), n >= 2)
+        spill(w_ref, ws, jnp.maximum(n - 2, 0), n >= 2)
+        spill(ts_ref, tss, jnp.maximum(n - 2, 0), n >= 2)
+        spill(ln_ref, ls, jnp.maximum(n - 2, 0), n >= 2)
+        spill(v_ref, vt, jnp.maximum(n - 1, 0), n >= 1)
+        spill(w_ref, wt, jnp.maximum(n - 1, 0), n >= 1)
+        spill(ts_ref, tt, jnp.maximum(n - 1, 0), n >= 1)
+        spill(ln_ref, lt, jnp.maximum(n - 1, 0), n >= 1)
+        n_ref[:, :] = jnp.broadcast_to(n[None, :], (8, B))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pool_merge_pallas(v0, w0, ts0, l0, n_in, g, smin, interpret=False):
+    """Resolve violations across an ordered pool list per trace.
+
+    v0/w0/ts0/l0: (Kp, P) packed pools (valid up to n_in per trace), Kp a
+    multiple of 128, P a multiple of 8. Returns merged pool arrays
+    (Kp, P) + counts."""
+    Kp, P = v0.shape
+    B = 128
+    PL = 128
+    nb = Kp // B
+    grid = (nb,)
+    Pp = -(-P // PL) * PL         # pad pool capacity to whole DMA panels
+    pad = Pp - P
+
+    def preb(x, dt):
+        # (Kp, P) -> HBM-friendly pre-blocked (nb, Pp, B): one dynamic
+        # slice dim per panel DMA (two dynamic dims materialize a giant
+        # intermediate — CLAUDE.md / pallas_ring.py notes)
+        xp = jnp.pad(x, ((0, 0), (0, pad)))
+        return jnp.moveaxis(xp.T.reshape(Pp, nb, B), 1, 0).astype(dt)
+
+    row8 = lambda x, dt: jnp.broadcast_to(
+        x[None, :], (8, Kp)).astype(dt)
+    out_shapes = [
+        jax.ShapeDtypeStruct((Pp, Kp), jnp.float32),
+        jax.ShapeDtypeStruct((Pp, Kp), jnp.float32),
+        jax.ShapeDtypeStruct((Pp, Kp), jnp.int32),
+        jax.ShapeDtypeStruct((Pp, Kp), jnp.int32),
+        jax.ShapeDtypeStruct((8, Kp), jnp.int32),
+    ]
+    blk = lambda r: pl.BlockSpec((r, B), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)
+    n_max_blocks = jnp.max(n_in.reshape(nb, B), axis=1).astype(jnp.int32)
+    v, w, ts, ln, n = pl.pallas_call(
+        _pool_event_kernel(Pp, Pp, B, PL=PL),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [blk(8)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=[blk(Pp), blk(Pp), blk(Pp), blk(Pp), blk(8)],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((PL, B), jnp.float32),
+            pltpu.VMEM((PL, B), jnp.float32),
+            pltpu.VMEM((PL, B), jnp.int32),
+            pltpu.VMEM((PL, B), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(n_max_blocks, row8(g, jnp.float32), row8(smin, jnp.float32),
+      row8(n_in, jnp.int32), preb(v0, jnp.float32), preb(w0, jnp.float32),
+      preb(ts0, jnp.int32), preb(l0, jnp.int32))
+    return v.T[:, :P], w.T[:, :P], ts.T[:, :P], ln.T[:, :P], n[0]
+
+
+def _pack_chunk_pools(cv, cw, cts, cl, cn, T):
+    """Pack per-chunk pool arrays (K, nc, L) with counts (K, nc) into
+    order-preserving (K, T) arrays + total counts (argsort-based gather —
+    TPU-friendly, no serialized scatters)."""
+    K, nc, L = cv.shape
+    valid = jnp.arange(L)[None, None, :] < cn[:, :, None]
+    fv = valid.reshape(K, nc * L)
+    # stable unique sort keys: valid pools keep their order at the front
+    flatpos = jnp.arange(nc * L, dtype=jnp.int32)[None, :]
+    keys = jnp.where(fv, jnp.cumsum(fv.astype(jnp.int32), axis=1) - 1,
+                     nc * L + flatpos)
+    order = jnp.argsort(keys, axis=1)                    # (K, T)
+    take = lambda x: jnp.take_along_axis(x.reshape(K, nc * L), order, axis=1)
+    return (take(cv), take(cw), take(cts), take(cl),
+            jnp.sum(cn, axis=1).astype(jnp.int32))
+
+
+def oasis_ar1_pallas_dc(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
+                        smin: jnp.ndarray, L: int = 128,
+                        interpret: bool = False):
+    """Divide-and-conquer batched OASIS AR(1), both passes on-device.
+
+    Pass 1 runs the sample-level event kernel on length-L chunks (spill
+    masks span L rows instead of T — ~T/L x less VMEM traffic); pass 2
+    pushes the surviving pools through the pool-granularity kernel (trip
+    count = pool count << T). Exact same pool algorithm as
+    :func:`oasis_ar1_pallas` (confluent merging).
+
+    y: (K, T); g, lam, smin: (K,). Returns (c, s).
+    """
+    K, T = y.shape
+    dt = jnp.float32
+    y = y.astype(dt)
+    g = jnp.broadcast_to(jnp.asarray(g, dt), (K,))
+    lam = jnp.broadcast_to(jnp.asarray(lam, dt), (K,))
+    smin = jnp.broadcast_to(jnp.asarray(smin, dt), (K,))
+
+    vinit = y - lam[:, None] * (1.0 - g[:, None])
+    vinit = vinit.at[:, T - 1].set(y[:, T - 1] - lam)
+
+    Tp = -(-T // L) * L
+    Kp = -(-K // 128) * 128
+    if Tp != T:
+        # pad with strongly increasing samples: never merge, stay isolated
+        big = jnp.max(jnp.abs(vinit)) * 2.0 + 1e6
+        padv = big * (1.0 + jnp.arange(Tp - T, dtype=dt))[None, :] * \
+            jnp.ones((K, 1), dt)
+        vinit = jnp.concatenate([vinit, padv], axis=1)
+    if Kp != K:
+        # pad traces collapse to ONE pool per chunk (constant negative
+        # value always merges), so they never bound the pass-2 trip count
+        vinit = jnp.concatenate(
+            [vinit, jnp.full((Kp - K, Tp), -1e6, dt)], axis=0)
+        g = jnp.concatenate([g, jnp.full((Kp - K,), 0.5, dt)])
+        smin = jnp.concatenate([smin, jnp.zeros((Kp - K,), dt)])
+
+    nc = Tp // L
+    # pass 1: chunk-local sample-level solves ((Kp*nc) lanes x L samples)
+    vc = vinit.reshape(Kp * nc, L)
+    gc = jnp.repeat(g, nc)
+    sc = jnp.repeat(smin, nc)
+    v1, w1, ts1, l1, n1 = _oasis_pools_pallas(vc, gc, sc,
+                                              interpret=interpret)
+    # chunk-local times -> global
+    offs = (jnp.arange(Kp * nc, dtype=jnp.int32) % nc) * L
+    ts1 = ts1 + offs[:, None]
+
+    # pack surviving pools per trace, then pass 2: cross-chunk resolution
+    pv, pw, pts, plen, n_in = _pack_chunk_pools(
+        v1.reshape(Kp, nc, L), w1.reshape(Kp, nc, L),
+        ts1.reshape(Kp, nc, L), l1.reshape(Kp, nc, L),
+        n1.reshape(Kp, nc), Tp)
+    v, w, ts, ln, n = _pool_merge_pallas(pv, pw, pts, plen, n_in, g, smin,
+                                         interpret=interpret)
+    c, s = _reconstruct(v, w, ts, ln, n, g, Tp)
+    return c[:K, :T], s[:K, :T]
+
+
 def _reconstruct(v, w, ts, ln, n, g, T):
     """Pools -> (c, s), batched. All inputs (K, T) / (K,)."""
     K = v.shape[0]

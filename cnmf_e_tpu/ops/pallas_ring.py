@@ -163,7 +163,11 @@ def ring_apply_auto(weights: RingWeights, X: jnp.ndarray, H: int, W: int,
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     lanes_ok = (W % 128 == 0) and (H % 8 == 0) and (X.shape[0] % 8 == 0)
-    if on_tpu and lanes_ok and include_intercept:
+    if on_tpu and lanes_ok:
+        if not include_intercept:
+            # the kernel seeds the accumulator with w0; zeros == no intercept
+            weights = RingWeights(w=weights.w,
+                                  w0=jnp.zeros_like(weights.w0))
         return apply_ring_pallas(weights, X, H, W, radius)
     return apply_ring(weights, X, H, W, radius,
                       include_intercept=include_intercept)

@@ -79,9 +79,18 @@ def _box_indices(A: jnp.ndarray, H: int, W: int, box: int):
     return idx, y0, x0
 
 
+def _mxu_ok(mesh, W: int, mxu: Optional[bool]) -> bool:
+    """MXU banded-matmul stencil eligibility (single-device TPU, aligned W)."""
+    if mxu is not None:
+        return bool(mxu) and mesh is None
+    return (mesh is None and W % 128 == 0
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
-                       radius: int):
-    """Build the jitted background projection ``proj(Y, state) -> Pmov``.
+                       radius: int, mxu: Optional[bool] = None):
+    """Build the jitted background projection
+    ``proj(Y, state) -> (Pmov, bands)``.
 
     Pmov = (Y - b0) - W(Y - b0) - w0 is the movie passed through the
     implicit-background operator. It depends only on Y, b0 and the ring
@@ -91,7 +100,13 @@ def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
     ``update_background_parallel.m:311-317``) — so a pipeline computes it
     once per background refresh and amortizes the movie-sized stencil over
     every HALS iteration in between (see ``make_hals_iteration``).
+
+    ``bands`` is the precomputed MXU band tensor
+    (ops/pallas_ring_mxu.py) for the same refresh interval, reused by the
+    per-iteration GA stencil; None when the MXU path is off (mesh given,
+    unaligned W, or non-TPU backend).
     """
+    use_mxu = _mxu_ok(mesh, W, mxu)
 
     def constraint(x, spec):
         if mesh is None:
@@ -99,16 +114,23 @@ def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def proj(Y: jnp.ndarray, st: StepState) -> jnp.ndarray:
+    def proj(Y: jnp.ndarray, st: StepState):
         Y = constraint(Y, P("frame", "patch", None))
         weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
         Q = Y - st.b0[None]
-        if mesh is None:
+        bands = None
+        if use_mxu:
+            from cnmf_e_tpu.ops.pallas_ring_mxu import (apply_ring_mxu,
+                                                        ring_dense_bands)
+            bands = ring_dense_bands(weights, H, W, radius)
+            WQ = apply_ring_mxu(bands, st.ring_w0, Q, H, W, radius)
+        elif mesh is None:
             from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
             WQ = ring_apply_auto(weights, Q, H, W, radius)   # W(Q) + w0
         else:
             WQ = apply_ring(weights, Q, H, W, radius)
-        return constraint(Q - WQ, P("frame", "patch", None))  # (T, H, W)
+        Pmov = constraint(Q - WQ, P("frame", "patch", None))  # (T, H, W)
+        return Pmov, bands
 
     return jax.jit(proj)
 
@@ -117,14 +139,16 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         radius: int, n_hals: int = 2,
                         deconv: Optional[DeconvParams] = None,
                         smin: float = -3.0,
-                        crop_box: Optional[int] = None):
-    """Build the jitted HALS iteration ``iterate(Pmov, state) -> state``.
+                        crop_box: Optional[int] = None,
+                        mxu: Optional[bool] = None):
+    """Build the jitted HALS iteration
+    ``iterate(Pmov, state, bands=None) -> state``.
 
-    Takes the precomputed background projection ``Pmov`` (see
-    ``make_bg_projection``); only the K-footprint stencil GA = W(a_k)
-    (~K/T the cost of the movie stencil) is recomputed per iteration.
-    All shapes static; K must divide the 'patch' axis size when a mesh is
-    given (pad K_max accordingly).
+    Takes the precomputed background projection ``Pmov`` and (optionally)
+    the MXU band tensor from ``make_bg_projection``; only the K-footprint
+    stencil GA = W(a_k) (~K/T the cost of the movie stencil) is recomputed
+    per iteration. All shapes static; K must divide the 'patch' axis size
+    when a mesh is given (pad K_max accordingly).
 
     ``crop_box``: evaluate the HALS Grams on a crop_box^2 box around each
     footprint peak and constrain footprints to it (search-location
@@ -149,8 +173,13 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
 
         # Ysig = Y - B = Pmov + GA @ C,  GA[k] = W(a_k)
         weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
-        GA = apply_ring(weights, A, H, W, radius,
-                        include_intercept=False)             # (K, H, W)
+        if mesh is None:
+            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
+            GA = ring_apply_auto(weights, A, H, W, radius,
+                                 include_intercept=False)    # (K, H, W)
+        else:
+            GA = apply_ring(weights, A, H, W, radius,
+                            include_intercept=False)         # (K, H, W)
 
         Pd = Pmov.reshape(T, d).T                            # (d, T)
         Ad = A.reshape(K, d).T                               # (d, K)

@@ -13,7 +13,8 @@ from cnmf_e_tpu.ops.ring import RingWeights, apply_ring, ring_offsets
 from cnmf_e_tpu.ops.pallas_ring import apply_ring_pallas
 from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import foopsi_ar1
-from cnmf_e_tpu.parallel.step import StepState, make_update_step
+from cnmf_e_tpu.parallel.step import (StepState, make_bg_projection,
+                                      make_hals_iteration)
 
 H = W = 256
 T = 2000
@@ -49,7 +50,7 @@ def bench(name, fn, *args, n=3):
         out = fn(*args)
         force(out)
     dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{name:42s} {dt:9.2f} ms")
+    print(f"{name:42s} {dt:9.2f} ms", flush=True)
     return dt
 
 
@@ -58,7 +59,6 @@ f_ring_xla_A = jax.jit(lambda w, a: apply_ring(w, a, H, W, radius,
                                                include_intercept=False))
 f_matmul_PC = jax.jit(lambda p, c: p @ c.T)              # (d,T)@(T,K)
 f_matmul_AP = jax.jit(lambda a, p: a.T @ p)              # (K,d)@(d,T)
-f_einsum_AC = jax.jit(lambda a, c: jnp.einsum("khw,kt->thw", a, c))
 f_deconv = jax.jit(lambda c, g, sn: foopsi_ar1(c, g, smin=-3.0, sn=sn,
                                                optimize_b=False))
 f_noise = jax.jit(noise_psd)
@@ -81,7 +81,6 @@ bench("ring apply pallas (movie)", f_ring_pallas, weights, Y)
 bench("ring apply XLA (K footprints)", f_ring_xla_A, weights, Aj)
 bench("matmul Pd@Cc.T (d,T)x(T,K)", f_matmul_PC, Pd, C)
 bench("matmul A.T@Pd (K,d)x(d,T)", f_matmul_AP, Ad, Pd)
-bench("einsum AC (K,HW)x(K,T)->(T,HW)", f_einsum_AC, Aj, C)
 bench("noise_psd (K,T)", f_noise, C)
 bench("foopsi_ar1 (K,T)", f_deconv, C, g, sn)
 bench("median/baseline (K,T)", f_median, C)
@@ -89,8 +88,12 @@ bench("median/baseline (K,T)", f_median, C)
 st = StepState(A=Aj, C=C, C_raw=jnp.zeros((K, T), jnp.float32),
                S=jnp.zeros((K, T), jnp.float32), g=g,
                b0=jnp.ones((H, W), jnp.float32), ring_w=wr, ring_w0=w0)
-step_d = make_update_step(None, H, W, T, radius=radius, n_hals=1)
-step_c = make_update_step(None, H, W, T, radius=radius, n_hals=1,
-                          crop_box=48)
-bench("FULL STEP dense", lambda: step_d(Y, st))
-bench("FULL STEP crop=48", lambda: step_c(Y, st))
+proj = make_bg_projection(None, H, W, T, radius=radius)
+it_d = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1)
+it_c = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
+                           crop_box=48)
+Pm = proj(Y, st)
+force(Pm)
+bench("PROJECTION (movie stencil)", lambda: proj(Y, st))
+bench("ITERATION dense", lambda: it_d(Pm, st))
+bench("ITERATION crop=48", lambda: it_c(Pm, st))
