@@ -59,6 +59,14 @@ class StepState(NamedTuple):
     ring_w0: jnp.ndarray  # (H*W,)
 
 
+class BgProjection(NamedTuple):
+    """Output of ``make_bg_projection``: the implicit-background movie
+    projection plus (on the MXU path) the precomputed band tensor, both
+    constant between background refreshes."""
+    P: jnp.ndarray                   # (T, H, W)
+    bands: Optional[jnp.ndarray]     # (H, D*W, W) bf16, or None
+
+
 def _box_indices(A: jnp.ndarray, H: int, W: int, box: int):
     """Per-neuron crop_box x crop_box pixel boxes centered on the footprint
     peak, clipped fully inside the FOV. A: (K, H, W).
@@ -130,7 +138,7 @@ def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
         else:
             WQ = apply_ring(weights, Q, H, W, radius)
         Pmov = constraint(Q - WQ, P("frame", "patch", None))  # (T, H, W)
-        return Pmov, bands
+        return BgProjection(P=Pmov, bands=bands)
 
     return jax.jit(proj)
 
@@ -165,7 +173,10 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def iterate(Pmov: jnp.ndarray, st: StepState) -> StepState:
+    def iterate(Pmov, st: StepState) -> StepState:
+        bands = None
+        if isinstance(Pmov, (BgProjection, tuple)):
+            Pmov, bands = Pmov
         Pmov = constraint(Pmov, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
@@ -173,7 +184,11 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
 
         # Ysig = Y - B = Pmov + GA @ C,  GA[k] = W(a_k)
         weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
-        if mesh is None:
+        if bands is not None and mxu is not False:
+            from cnmf_e_tpu.ops.pallas_ring_mxu import apply_ring_mxu
+            GA = apply_ring_mxu(bands, jnp.zeros_like(st.ring_w0),
+                                A, H, W, radius)             # (K, H, W)
+        elif mesh is None:
             from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
             GA = ring_apply_auto(weights, A, H, W, radius,
                                  include_intercept=False)    # (K, H, W)
@@ -257,7 +272,8 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      radius: int, n_hals: int = 2,
                      deconv: Optional[DeconvParams] = None,
                      smin: float = -3.0,
-                     crop_box: Optional[int] = None):
+                     crop_box: Optional[int] = None,
+                     mxu: Optional[bool] = None):
     """Build the fused jitted update step ``step(Y, state) -> state``
     (background projection + HALS iteration in one program).
 
@@ -266,10 +282,10 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
     ``make_hals_iteration`` instead so the movie-sized stencil is paid
     once per refresh, not once per iteration.
     """
-    proj = make_bg_projection(mesh, H, W, T, radius)
+    proj = make_bg_projection(mesh, H, W, T, radius, mxu=mxu)
     iterate = make_hals_iteration(mesh, H, W, T, radius, n_hals=n_hals,
                                   deconv=deconv, smin=smin,
-                                  crop_box=crop_box)
+                                  crop_box=crop_box, mxu=mxu)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:
         return iterate(proj(Y, st), st)
