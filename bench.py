@@ -58,8 +58,10 @@ def main():
         ring_w0=jnp.zeros((H * W,), jnp.float32),
     )
 
+    n_iter = 5
     proj = make_bg_projection(None, H, W, T, radius=radius)
-    iterate = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1)
+    iterate = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
+                                  chain=n_iter)
 
     def force(x):
         # block_until_ready does not reliably block on the axon platform;
@@ -71,17 +73,15 @@ def main():
     out = iterate(Pm, st)
     force(out)
 
-    # time one background projection + N chained HALS iterations with ONE
-    # final sync, charging the projection amortized: the pipeline refreshes
-    # the background once per block of HALS iterations (the reference holds
-    # B fixed between bg updates too), and never host-syncs between
-    # iterations (the ~29 ms tunnel dispatch floor must not be charged to
-    # every step)
-    n_iter = 5
+    # time one background projection + a block of n_iter HALS iterations
+    # fused into ONE program (one dispatch), with ONE final sync. The
+    # projection is charged amortized: the pipeline refreshes the
+    # background once per block of HALS iterations (the reference holds B
+    # fixed between bg updates too), and the ~29 ms tunnel dispatch floor
+    # must not be charged to every iteration.
     t0 = time.perf_counter()
     Pm = proj(Y, st)
-    for _ in range(n_iter):
-        out = iterate(Pm, out)
+    out = iterate(Pm, out)
     force(out)
     dt = (time.perf_counter() - t0) / n_iter
     pixel_frames = H * W * T

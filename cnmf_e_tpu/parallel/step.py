@@ -148,9 +148,16 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         deconv: Optional[DeconvParams] = None,
                         smin: float = -3.0,
                         crop_box: Optional[int] = None,
-                        mxu: Optional[bool] = None):
-    """Build the jitted HALS iteration
-    ``iterate(Pmov, state, bands=None) -> state``.
+                        mxu: Optional[bool] = None,
+                        chain: int = 1):
+    """Build the jitted HALS iteration ``iterate(proj_out, state) -> state``
+    (``proj_out`` from :func:`make_bg_projection`).
+
+    ``chain``: run this many full iterations (HALS sweeps + baseline +
+    deconvolution each) inside ONE program via ``lax.fori_loop``. Every
+    dispatch through the tunneled TPU runtime costs ~29 ms regardless of
+    program size, so pipelines that run a block of iterations per
+    background refresh should fuse the block into a single dispatch.
 
     Takes the precomputed background projection ``Pmov`` and (optionally)
     the MXU band tensor from ``make_bg_projection``; only the K-footprint
@@ -173,10 +180,7 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def iterate(Pmov, st: StepState) -> StepState:
-        bands = None
-        if isinstance(Pmov, (BgProjection, tuple)):
-            Pmov, bands = Pmov
+    def one_iteration(Pmov, bands, st: StepState) -> StepState:
         Pmov = constraint(Pmov, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
@@ -262,6 +266,15 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         return StepState(A=A_new, C=C_new, C_raw=C_raw_new, S=S_new,
                          g=st.g, b0=st.b0, ring_w=st.ring_w,
                          ring_w0=st.ring_w0)
+
+    def iterate(Pmov, st: StepState) -> StepState:
+        bands = None
+        if isinstance(Pmov, (BgProjection, tuple)):
+            Pmov, bands = Pmov
+        if chain == 1:
+            return one_iteration(Pmov, bands, st)
+        return jax.lax.fori_loop(
+            0, chain, lambda _, s: one_iteration(Pmov, bands, s), st)
 
     # NOTE: no donate_argnums — buffer donation triggers pathological
     # recompiles/serialization on the axon-tunneled TPU platform

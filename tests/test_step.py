@@ -118,3 +118,22 @@ def test_split_projection_iteration_matches_fused(problem):
     ref2 = fused(Y, ref)
     out2 = iterate(Pm, out)
     np.testing.assert_allclose(out2.C, ref2.C, atol=1e-5)
+
+
+def test_chained_block_matches_sequential_calls(problem):
+    """chain=N inside one program == N sequential iterate() dispatches."""
+    from cnmf_e_tpu.parallel.step import (
+        make_bg_projection, make_hals_iteration)
+    H, W, T, K, radius, Y, st = problem
+    proj = make_bg_projection(None, H, W, T, radius=radius)
+    it1 = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1)
+    it3 = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
+                              chain=3)
+    Pm = proj(Y, st)
+    ref = st
+    for _ in range(3):
+        ref = it1(Pm, ref)
+    out = it3(Pm, st)
+    np.testing.assert_allclose(out.A, ref.A, atol=1e-5)
+    np.testing.assert_allclose(out.C, ref.C, atol=1e-4)
+    np.testing.assert_allclose(out.S, ref.S, atol=1e-4)
