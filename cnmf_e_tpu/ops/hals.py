@@ -20,29 +20,64 @@ import jax.numpy as jnp
 
 def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                         mask: Optional[jnp.ndarray] = None,
-                        n_iter: int = 5) -> jnp.ndarray:
+                        n_iter: int = 5, block: int = 16) -> jnp.ndarray:
     """Gauss-Seidel spatial sweeps given precomputed Grams.
 
     U = Ysig @ Cc^T (d, K), V = Cc @ Cc^T (K, K). Callers that can express
     Ysig implicitly (e.g. the ring-background step, where
     Ysig = P + (W A) C) build U/V without materializing Ysig.
+
+    The sweep is BLOCKED Gauss-Seidel (exact, same update order): the naive
+    per-neuron update reads the full (d, K) A for its residual matvec —
+    K reads of A per sweep, all HBM-bound. Here the block residual
+    R = U_blk - A V_blk is computed once per ``block`` neurons (one read of
+    A) and the in-block updates correct it with the (d, block) delta of
+    columns updated so far — cutting sweep HBM traffic by ~``block`` x.
     """
+    d, K = A.shape
     cc = jnp.diag(V)
     if mask is not None:
         A = jnp.where(mask, A, 0.0)
 
-    def neuron_update(k, A):
-        ak = A[:, k] + (U[:, k] - A @ V[:, k]) / jnp.maximum(cc[k], 1e-12)
-        ak = jnp.maximum(ak, 0.0)
+    block = max(1, min(block, K))
+    Kp = -(-K // block) * block
+    if Kp != K:
+        # pad with inert neurons: cc = 0 skips their update entirely
+        U = jnp.pad(U, ((0, 0), (0, Kp - K)))
+        V = jnp.pad(V, ((0, Kp - K), (0, Kp - K)))
+        A = jnp.pad(A, ((0, 0), (0, Kp - K)))
+        cc = jnp.pad(cc, (0, Kp - K))
         if mask is not None:
-            ak = jnp.where(mask[:, k], ak, 0.0)
-        ak = jnp.where(cc[k] > 0, ak, A[:, k])
-        return A.at[:, k].set(ak)
+            mask = jnp.pad(mask, ((0, 0), (0, Kp - K)))
+
+    def block_update(j, A):
+        k0 = j * block
+        Vb = jax.lax.dynamic_slice(V, (0, k0), (Kp, block))     # (Kp, b)
+        Ub = jax.lax.dynamic_slice(U, (0, k0), (d, block))      # (d, b)
+        ccb = jax.lax.dynamic_slice(cc, (k0,), (block,))
+        A0 = jax.lax.dynamic_slice(A, (0, k0), (d, block))      # (d, b)
+        R = Ub - A @ Vb                                         # (d, b)
+        Vbb = jax.lax.dynamic_slice(Vb, (k0, 0), (block, block))
+        mb = (jax.lax.dynamic_slice(mask, (0, k0), (d, block))
+              if mask is not None else None)
+
+        def inner(i, Ab):
+            r = R[:, i] - (Ab - A0) @ Vbb[:, i]
+            ak = Ab[:, i] + r / jnp.maximum(ccb[i], 1e-12)
+            ak = jnp.maximum(ak, 0.0)
+            if mb is not None:
+                ak = jnp.where(mb[:, i], ak, 0.0)
+            ak = jnp.where(ccb[i] > 0, ak, Ab[:, i])
+            return Ab.at[:, i].set(ak)
+
+        Ab = jax.lax.fori_loop(0, block, inner, A0)
+        return jax.lax.dynamic_update_slice(A, Ab, (0, k0))
 
     def sweep(_, A):
-        return jax.lax.fori_loop(0, A.shape[1], neuron_update, A)
+        return jax.lax.fori_loop(0, Kp // block, block_update, A)
 
-    return jax.lax.fori_loop(0, n_iter, sweep, A)
+    A = jax.lax.fori_loop(0, n_iter, sweep, A)
+    return A[:, :K]
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))

@@ -51,17 +51,20 @@ def welch_psd(y: jnp.ndarray, nseg: int = 8) -> Tuple[jnp.ndarray, np.ndarray]:
     # frame the signal: (..., n_windows, seg) — static gather
     idx = starts[:, None] + np.arange(seg)[None, :]
     frames = y[..., idx] * win
-    spec = jnp.fft.rfft(frames, axis=-1)
+    # MATLAB pwelch default nfft = max(256, 2^nextpow2(seg)); a power-of-two
+    # FFT is also the only fast path on TPU (mixed-radix lengths like 444
+    # dominate the whole noise estimate otherwise)
+    nfft = max(256, int(2 ** np.ceil(np.log2(seg))))
+    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
     psd = (jnp.abs(spec) ** 2) * scale
-    # one-sided correction: double everything except DC (and Nyquist if even)
+    # one-sided correction: double everything except DC and Nyquist
     nfreq = psd.shape[-1]
     mult = np.full(nfreq, 2.0)
     mult[0] = 1.0
-    if seg % 2 == 0:
-        mult[-1] = 1.0
+    mult[-1] = 1.0
     psd = psd * jnp.asarray(mult, dtype=y.dtype)
     psd = jnp.mean(psd, axis=-2)
-    freqs = np.fft.rfftfreq(seg, d=1.0)
+    freqs = np.fft.rfftfreq(nfft, d=1.0)
     return psd, freqs
 
 

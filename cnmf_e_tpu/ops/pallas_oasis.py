@@ -136,14 +136,42 @@ def _oasis_kernel(T, B):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pass1_lane_width(T: int, lanes: int) -> int:
+    """Lane-block width for the sample-level kernel.
+
+    Grid blocks run SEQUENTIALLY on the one TensorCore, so the total
+    sequential push count is (lanes / B) * T — the kernel is control-flow
+    bound (per-iteration while/fori overhead dwarfs the vector work on a
+    (T, B) tile), so B should be as wide as the VMEM budget allows:
+    5 resident (T, B) f32/i32 arrays + in-loop temporaries, budgeted at
+    ~8 bytes/lane/sample against an 8 MB scoped-VMEM target."""
+    budget = 8 * 2 ** 20
+    b = budget // (32 * T) // 128 * 128
+    b = max(128, min(4096, b))
+    lanes_r = -(-lanes // 128) * 128
+    return min(b, lanes_r)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "B"))
 def _oasis_pools_pallas(vinit: jnp.ndarray, g: jnp.ndarray,
-                        smin: jnp.ndarray, interpret: bool = False):
+                        smin: jnp.ndarray, interpret: bool = False,
+                        B: int = 128):
     """Run the pool-merge kernel. vinit: (Kp, T) lambda-adjusted traces with
     Kp a multiple of 128 and T a multiple of 8. Returns per-trace pool
-    arrays (v, w, ts, ln) each (Kp, T) and counts n (Kp,)."""
-    Kp, T = vinit.shape
-    B = 128
+    arrays (v, w, ts, ln) each (Kp, T) and counts n (Kp,).
+
+    ``B`` = lanes per grid block (multiple of 128; see
+    :func:`_pass1_lane_width`). Lane count is padded up to a multiple of B
+    with inert traces."""
+    K0, T = vinit.shape
+    Kp = -(-K0 // B) * B
+    if Kp != K0:
+        # pad lanes with constant negative traces: collapse to one pool,
+        # never bound the merge trip count
+        vinit = jnp.concatenate(
+            [vinit, jnp.full((Kp - K0, T), -1e6, vinit.dtype)], axis=0)
+        g = jnp.concatenate([g, jnp.full((Kp - K0,), 0.5, g.dtype)])
+        smin = jnp.concatenate([smin, jnp.zeros((Kp - K0,), smin.dtype)])
     grid = (Kp // B,)
     vin = vinit.T                                         # (T, Kp)
     g2 = jnp.broadcast_to(g[None, :], (8, Kp)).astype(jnp.float32)
@@ -165,7 +193,7 @@ def _oasis_pools_pallas(vinit: jnp.ndarray, g: jnp.ndarray,
         out_shape=out_shapes,
         interpret=interpret,
     )(vin, g2, s2)
-    return v.T, w.T, ts.T, ln.T, n[0]
+    return (v.T[:K0], w.T[:K0], ts.T[:K0], ln.T[:K0], n[0, :K0])
 
 
 def _pool_event_kernel(P_in, P_out, B, PL=128):
@@ -428,8 +456,9 @@ def oasis_ar1_pallas_dc(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
     vc = vinit.reshape(Kp * nc, L)
     gc = jnp.repeat(g, nc)
     sc = jnp.repeat(smin, nc)
-    v1, w1, ts1, l1, n1 = _oasis_pools_pallas(vc, gc, sc,
-                                              interpret=interpret)
+    v1, w1, ts1, l1, n1 = _oasis_pools_pallas(
+        vc, gc, sc, interpret=interpret,
+        B=_pass1_lane_width(L, Kp * nc))
     # chunk-local times -> global
     offs = (jnp.arange(Kp * nc, dtype=jnp.int32) % nc) * L
     ts1 = ts1 + offs[:, None]
@@ -498,8 +527,9 @@ def oasis_ar1_pallas(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
         g = jnp.concatenate([g, jnp.full((Kp - K,), 0.5, dt)])
         smin = jnp.concatenate([smin, jnp.zeros((Kp - K,), dt)])
 
-    v, w, ts, ln, n = _oasis_pools_pallas(vinit, g, smin,
-                                          interpret=interpret)
+    v, w, ts, ln, n = _oasis_pools_pallas(
+        vinit, g, smin, interpret=interpret,
+        B=_pass1_lane_width(Tp, Kp))
     c, s = _reconstruct(v, w, ts, ln, n, g, Tp)
     return c[:K, :T], s[:K, :T]
 

@@ -105,3 +105,27 @@ def test_hals_decreases_rss(rng):
 
     A2, C2 = hals_nmf(Yj, A1, C1, n_iter=5)
     assert rss(A2, C2) <= r2 * 1.01
+
+
+def test_hals_spatial_blocked_gs_matches_per_neuron(rng):
+    """The blocked Gauss-Seidel sweep is the exact per-neuron update
+    (HALS_spatial.m:34-46) for every block size, incl. non-dividing ones."""
+    from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
+
+    d, K, T = 400, 37, 150
+    Y = rng.standard_normal((d, T)).astype(np.float32)
+    C = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+    A = np.abs(rng.standard_normal((d, K))).astype(np.float32)
+    mask = rng.random((d, K)) > 0.3
+    V = C @ C.T
+    U = Y @ C.T
+
+    # per-neuron reference (block=1 is the unblocked update)
+    ref = np.asarray(hals_spatial_sweeps(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(A),
+        mask=jnp.asarray(mask), n_iter=3, block=1))
+    for block in (7, 16, 64):
+        out = np.asarray(hals_spatial_sweeps(
+            jnp.asarray(U), jnp.asarray(V), jnp.asarray(A),
+            mask=jnp.asarray(mask), n_iter=3, block=block))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
