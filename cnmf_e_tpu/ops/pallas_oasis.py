@@ -196,14 +196,19 @@ def _oasis_pools_pallas(vinit: jnp.ndarray, g: jnp.ndarray,
     return (v.T[:K0], w.T[:K0], ts.T[:K0], ln.T[:K0], n[0, :K0])
 
 
-def _pool_event_kernel(P_in, P_out, B, PL=128):
-    """Pool-granularity event loop: push an ordered list of PRE-MERGED pools
-    per lane (instead of raw samples) and resolve violations. This is the
+def _pool_event_kernel(P_out, B, nc, PL=128):
+    """Pool-granularity event loop: push ordered PRE-MERGED pools per lane
+    (instead of raw samples) and resolve violations. This is the
     cross-chunk pass of the divide-and-conquer path: its trip count is
-    max-over-lanes of the surviving pool count — typically a small fraction
-    of T — and pool merging is confluent (PAVA), so the result matches the
-    sample-level loop exactly (same property the XLA DC path relies on,
-    reference ``oasisAR1.m:59-109``)."""
+    sum-over-chunks of the max-over-lanes per-chunk pool count — typically
+    a small fraction of T — and pool merging is confluent (PAVA), so the
+    result matches the sample-level loop exactly (same property the XLA DC
+    path relies on, reference ``oasisAR1.m:59-109``).
+
+    Pools arrive UNPACKED, chunk-major: panel c holds chunk c's pools at
+    rows 0..n1[lane, c)-1 (exactly how the pass-1 kernel wrote them) — a
+    host-side stream compaction across chunks would need a (K, T) argsort,
+    which costs far more than the kernels themselves on TPU."""
 
     def kernel(nmax_ref, g_ref, smin_ref, nin_ref, v0_hbm, w0_hbm, ts0_hbm,
                l0_hbm, v_ref, w_ref, ts_ref, ln_ref, n_ref,
@@ -211,11 +216,10 @@ def _pool_event_kernel(P_in, P_out, B, PL=128):
         # Input pools stream from HBM through small (PL, B) VMEM panels —
         # NO buffer aliasing (in-place read-modify-write of a pallas
         # output miscompiles on the axon platform, same pathology as
-        # donate_argnums) and no P_in-sized VMEM input block.
+        # donate_argnums) and no (nc*PL)-sized VMEM input block.
         blk = pl.program_id(0)
         g = g_ref[0, :]                      # (B,)
         smin = smin_ref[0, :]
-        n_in = nin_ref[0, :]                 # (B,) valid input pools per lane
         logg = jnp.log(jnp.maximum(g, 1e-10))
         rowid = jax.lax.broadcasted_iota(jnp.int32, (P_out, B), 0)
 
@@ -272,39 +276,9 @@ def _pool_event_kernel(P_in, P_out, B, PL=128):
 
             return jax.lax.while_loop(cond, body, carry)
 
-        def push_in_panel(j, state):
-            base, carry = state
-            vt, wt, tt, lt, vs, ws, tss, ls, n = carry
-            i = base + j
-            live = i < n_in                  # (B,) lanes still consuming
-            vn = pv[j, :]
-            wn = pw[j, :]
-            tn = pts[j, :]
-            ln_new = pln[j, :]
-            do = live & (n >= 2)
-            d2 = jnp.maximum(n - 2, 0)
-            spill(v_ref, vs, d2, do)
-            spill(w_ref, ws, d2, do)
-            spill(ts_ref, tss, d2, do)
-            spill(ln_ref, ls, d2, do)
-            carry = (jnp.where(live, vn, vt),
-                     jnp.where(live, wn, wt),
-                     jnp.where(live, tn, tt),
-                     jnp.where(live, ln_new, lt),
-                     jnp.where(live, vt, vs),
-                     jnp.where(live, wt, ws),
-                     jnp.where(live, tt, tss),
-                     jnp.where(live, lt, ls),
-                     n + live.astype(jnp.int32))
-            return (base, merge_all(carry))
-
-        # per-block event bound from SMEM (a cross-lane max inside the
-        # kernel is the kind of reduction Mosaic handles unreliably)
-        n_max = nmax_ref[blk]
-
-        def panel(p, carry):
-            base = p * PL
-            cps = [pltpu.make_async_copy(h.at[blk, pl.ds(base, PL), :],
+        def panel(c, carry):
+            # panel c = chunk c's pool list (rows 0..n1[lane, c))
+            cps = [pltpu.make_async_copy(h.at[blk, pl.ds(c * PL, PL), :],
                                          buf, sem)
                    for h, buf, sem in ((v0_hbm, pv, sv), (w0_hbm, pw, sw),
                                        (ts0_hbm, pts, st),
@@ -313,15 +287,41 @@ def _pool_event_kernel(P_in, P_out, B, PL=128):
                 cp.start()
             for cp in cps:
                 cp.wait()
-            m = jnp.minimum(PL, n_max - base)
-            _, carry = jax.lax.fori_loop(0, m, push_in_panel, (base, carry))
-            return carry
+            n_chunk = nin_ref[c, :]          # (B,) valid pools this chunk
+
+            def push(j, carry):
+                vt, wt, tt, lt, vs, ws, tss, ls, n = carry
+                live = j < n_chunk           # (B,) lanes still consuming
+                vn = pv[j, :]
+                wn = pw[j, :]
+                tn = pts[j, :]
+                ln_new = pln[j, :]
+                do = live & (n >= 2)
+                d2 = jnp.maximum(n - 2, 0)
+                spill(v_ref, vs, d2, do)
+                spill(w_ref, ws, d2, do)
+                spill(ts_ref, tss, d2, do)
+                spill(ln_ref, ls, d2, do)
+                carry = (jnp.where(live, vn, vt),
+                         jnp.where(live, wn, wt),
+                         jnp.where(live, tn, tt),
+                         jnp.where(live, ln_new, lt),
+                         jnp.where(live, vt, vs),
+                         jnp.where(live, wt, ws),
+                         jnp.where(live, tt, tss),
+                         jnp.where(live, lt, ls),
+                         n + live.astype(jnp.int32))
+                return merge_all(carry)
+
+            # per-(block, chunk) event bound from SMEM (a cross-lane max
+            # inside the kernel is the kind of reduction Mosaic handles
+            # unreliably)
+            return jax.lax.fori_loop(0, nmax_ref[blk, c], push, carry)
 
         carry0 = (zf, jnp.ones((B,), jnp.float32), zi, zi,
                   zf, jnp.ones((B,), jnp.float32), zi, zi, zi)
-        n_panels = (n_max + PL - 1) // PL
         vt, wt, tt, lt, vs, ws, tss, ls, n = jax.lax.fori_loop(
-            0, n_panels, panel, carry0)
+            0, nc, panel, carry0)
 
         spill(v_ref, vs, jnp.maximum(n - 2, 0), n >= 2)
         spill(w_ref, ws, jnp.maximum(n - 2, 0), n >= 2)
@@ -338,28 +338,32 @@ def _pool_event_kernel(P_in, P_out, B, PL=128):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pool_merge_pallas(v0, w0, ts0, l0, n_in, g, smin, interpret=False):
-    """Resolve violations across an ordered pool list per trace.
+    """Resolve violations across per-chunk ordered pool lists.
 
-    v0/w0/ts0/l0: (Kp, P) packed pools (valid up to n_in per trace), Kp a
-    multiple of 128, P a multiple of 8. Returns merged pool arrays
-    (Kp, P) + counts."""
-    Kp, P = v0.shape
+    v0/w0/ts0/l0: (Kp, nc, L) chunk-local pools exactly as pass 1 wrote
+    them (chunk c's valid pools at slots 0..n_in[lane, c)); n_in: (Kp, nc)
+    per-chunk counts. Kp a multiple of 128, L a multiple of 128. Returns
+    merged pool arrays (Kp, nc*L) + total counts — consuming the chunk
+    lists in place avoids the (K, T) argsort a host-side stream compaction
+    would need."""
+    Kp, nc, L = v0.shape
     B = 128
-    PL = 128
+    PL = L
     nb = Kp // B
     grid = (nb,)
-    Pp = -(-P // PL) * PL         # pad pool capacity to whole DMA panels
-    pad = Pp - P
+    Pp = nc * L
 
     def preb(x, dt):
-        # (Kp, P) -> HBM-friendly pre-blocked (nb, Pp, B): one dynamic
-        # slice dim per panel DMA (two dynamic dims materialize a giant
-        # intermediate — CLAUDE.md / pallas_ring.py notes)
-        xp = jnp.pad(x, ((0, 0), (0, pad)))
-        return jnp.moveaxis(xp.T.reshape(Pp, nb, B), 1, 0).astype(dt)
+        # (Kp, nc, L) -> HBM-friendly pre-blocked (nb, nc*L, B): one
+        # dynamic slice dim per panel DMA (two dynamic dims materialize a
+        # giant intermediate — CLAUDE.md / pallas_ring.py notes)
+        return jnp.moveaxis(x.reshape(Kp, Pp).T.reshape(Pp, nb, B),
+                            1, 0).astype(dt)
 
     row8 = lambda x, dt: jnp.broadcast_to(
         x[None, :], (8, Kp)).astype(dt)
+    ncp = -(-nc // 8) * 8
+    nin_v = jnp.pad(n_in.T, ((0, ncp - nc), (0, 0))).astype(jnp.int32)
     out_shapes = [
         jax.ShapeDtypeStruct((Pp, Kp), jnp.float32),
         jax.ShapeDtypeStruct((Pp, Kp), jnp.float32),
@@ -369,12 +373,13 @@ def _pool_merge_pallas(v0, w0, ts0, l0, n_in, g, smin, interpret=False):
     ]
     blk = lambda r: pl.BlockSpec((r, B), lambda b: (0, b),
                                  memory_space=pltpu.VMEM)
-    n_max_blocks = jnp.max(n_in.reshape(nb, B), axis=1).astype(jnp.int32)
+    # (nb, nc) per-(block, chunk) event bounds for the kernel's SMEM
+    n_max_bc = jnp.max(n_in.reshape(nb, B, nc), axis=1).astype(jnp.int32)
     v, w, ts, ln, n = pl.pallas_call(
-        _pool_event_kernel(Pp, Pp, B, PL=PL),
+        _pool_event_kernel(Pp, B, nc, PL=PL),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [blk(8)] * 3
+        + [blk(8), blk(8), blk(ncp)]
         + [pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
         out_specs=[blk(Pp), blk(Pp), blk(Pp), blk(Pp), blk(8)],
         out_shape=out_shapes,
@@ -389,27 +394,81 @@ def _pool_merge_pallas(v0, w0, ts0, l0, n_in, g, smin, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(n_max_blocks, row8(g, jnp.float32), row8(smin, jnp.float32),
-      row8(n_in, jnp.int32), preb(v0, jnp.float32), preb(w0, jnp.float32),
+    )(n_max_bc, row8(g, jnp.float32), row8(smin, jnp.float32),
+      nin_v, preb(v0, jnp.float32), preb(w0, jnp.float32),
       preb(ts0, jnp.int32), preb(l0, jnp.int32))
-    return v.T[:, :P], w.T[:, :P], ts.T[:, :P], ln.T[:, :P], n[0]
+    return v.T, w.T, ts.T, ln.T, n[0]
 
 
-def _pack_chunk_pools(cv, cw, cts, cl, cn, T):
-    """Pack per-chunk pool arrays (K, nc, L) with counts (K, nc) into
-    order-preserving (K, T) arrays + total counts (argsort-based gather —
-    TPU-friendly, no serialized scatters)."""
-    K, nc, L = cv.shape
-    valid = jnp.arange(L)[None, None, :] < cn[:, :, None]
-    fv = valid.reshape(K, nc * L)
-    # stable unique sort keys: valid pools keep their order at the front
-    flatpos = jnp.arange(nc * L, dtype=jnp.int32)[None, :]
-    keys = jnp.where(fv, jnp.cumsum(fv.astype(jnp.int32), axis=1) - 1,
-                     nc * L + flatpos)
-    order = jnp.argsort(keys, axis=1)                    # (K, T)
-    take = lambda x: jnp.take_along_axis(x.reshape(K, nc * L), order, axis=1)
-    return (take(cv), take(cw), take(cts), take(cl),
-            jnp.sum(cn, axis=1).astype(jnp.int32))
+def _reconstruct_kernel(P, B):
+    """Pools -> (c, s) inside one Pallas program. The XLA formulation
+    (:func:`_reconstruct`) needs a (K, T) scatter + cumsum + two
+    take_along_axis gathers — on TPU those lower far slower than this
+    simple loop over the ~n_max surviving pools (masked row-range writes
+    at VMEM speed)."""
+
+    def kernel(nmax_ref, g_ref, n_ref, v_ref, w_ref, ts_ref, ln_ref,
+               c_ref, s_ref):
+        blk = pl.program_id(0)
+        g = g_ref[0, :]                      # (B,)
+        n = n_ref[0, :]                      # (B,)
+        logg = jnp.log(jnp.maximum(g, 1e-10))
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (P, B), 0)
+        c_ref[:, :] = jnp.zeros((P, B), jnp.float32)
+        s_ref[:, :] = jnp.zeros((P, B), jnp.float32)
+
+        def pool(j, prev_end):
+            live = j < n
+            val = jnp.maximum(v_ref[j, :] / jnp.maximum(w_ref[j, :], 1e-20),
+                              0.0)
+            t0 = ts_ref[j, :]
+            ln = ln_ref[j, :]
+            # decay curve on the pool's row range [t0, t0+ln)
+            dt = jnp.clip(rowid - t0[None, :], 0, P).astype(jnp.float32)
+            m = ((rowid >= t0[None, :]) & (rowid < (t0 + ln)[None, :])
+                 & live[None, :])
+            c_ref[:, :] = jnp.where(
+                m, val[None, :] * jnp.exp(logg[None, :] * dt), c_ref[:, :])
+            # spike at the pool start: c[t0] - g * c[t0-1]
+            sval = val - g * prev_end
+            sm = (rowid == t0[None, :]) & (t0 > 0)[None, :] & live[None, :]
+            s_ref[:, :] = jnp.where(sm, sval[None, :], s_ref[:, :])
+            end = val * jnp.exp(logg * jnp.maximum(ln - 1, 0)
+                                .astype(jnp.float32))
+            return jnp.where(live, end, prev_end)
+
+        jax.lax.fori_loop(0, nmax_ref[blk], pool, jnp.zeros((B,),
+                                                            jnp.float32))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("T", "interpret"))
+def _reconstruct_pallas(v, w, ts, ln, n, g, T, interpret=False):
+    """Pools -> (c, s) via the Pallas kernel. v/w/ts/ln: (Kp, P) packed
+    pools (valid up to n per trace); returns (Kp, T) traces/spikes."""
+    Kp, P = v.shape
+    B = 128
+    nb = Kp // B
+    grid = (nb,)
+
+    row8 = lambda x, dt: jnp.broadcast_to(x[None, :], (8, Kp)).astype(dt)
+    blk = lambda r: pl.BlockSpec((r, B), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)
+    n_max_blocks = jnp.max(n.reshape(nb, B), axis=1).astype(jnp.int32)
+    c, s = pl.pallas_call(
+        _reconstruct_kernel(P, B),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk(8), blk(8),
+                  blk(P), blk(P), blk(P), blk(P)],
+        out_specs=[blk(P), blk(P)],
+        out_shape=[jax.ShapeDtypeStruct((P, Kp), jnp.float32),
+                   jax.ShapeDtypeStruct((P, Kp), jnp.float32)],
+        interpret=interpret,
+    )(n_max_blocks, row8(g, jnp.float32), row8(n, jnp.int32),
+      v.T.astype(jnp.float32), w.T.astype(jnp.float32),
+      ts.T.astype(jnp.int32), ln.T.astype(jnp.int32))
+    return c.T[:, :T], s.T[:, :T]
 
 
 def oasis_ar1_pallas_dc(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
@@ -463,14 +522,13 @@ def oasis_ar1_pallas_dc(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
     offs = (jnp.arange(Kp * nc, dtype=jnp.int32) % nc) * L
     ts1 = ts1 + offs[:, None]
 
-    # pack surviving pools per trace, then pass 2: cross-chunk resolution
-    pv, pw, pts, plen, n_in = _pack_chunk_pools(
+    # pass 2 consumes the chunk-local pool lists in place (no host-side
+    # stream compaction — a (K, T) argsort costs more than both kernels)
+    v, w, ts, ln, n = _pool_merge_pallas(
         v1.reshape(Kp, nc, L), w1.reshape(Kp, nc, L),
         ts1.reshape(Kp, nc, L), l1.reshape(Kp, nc, L),
-        n1.reshape(Kp, nc), Tp)
-    v, w, ts, ln, n = _pool_merge_pallas(pv, pw, pts, plen, n_in, g, smin,
-                                         interpret=interpret)
-    c, s = _reconstruct(v, w, ts, ln, n, g, Tp)
+        n1.reshape(Kp, nc), g, smin, interpret=interpret)
+    c, s = _reconstruct_pallas(v, w, ts, ln, n, g, Tp, interpret=interpret)
     return c[:K, :T], s[:K, :T]
 
 
@@ -530,7 +588,13 @@ def oasis_ar1_pallas(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
     v, w, ts, ln, n = _oasis_pools_pallas(
         vinit, g, smin, interpret=interpret,
         B=_pass1_lane_width(Tp, Kp))
-    c, s = _reconstruct(v, w, ts, ln, n, g, Tp)
+    if Tp <= 3072:
+        c, s = _reconstruct_pallas(v, w, ts, ln, n, g, Tp,
+                                   interpret=interpret)
+    else:
+        # (T, B) VMEM blocks of the reconstruction kernel would overflow
+        # scoped VMEM at the longest single-pass lengths
+        c, s = _reconstruct(v, w, ts, ln, n, g, Tp)
     return c[:K, :T], s[:K, :T]
 
 

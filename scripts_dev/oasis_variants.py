@@ -1,7 +1,8 @@
-"""Time the batched OASIS deconvolution variants on the real TPU.
+"""Time the batched OASIS deconvolution pieces on the real TPU.
 
-Compares pass-1 lane widths (B) of the divide-and-conquer Pallas path and
-the end-to-end foopsi call, on bench-shaped traces (K=192, T=2000).
+Times pass 1 (sample kernel) at the default lane width, pass 2 (chunked
+pool-merge kernel), the reconstruction kernel, and the jitted end-to-end
+foopsi call, on bench-shaped traces (K=192, T=2000).
 PYTHONPATH must include the repo root.
 """
 
@@ -19,7 +20,8 @@ from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import foopsi_ar1
 from cnmf_e_tpu.ops.pallas_oasis import (_oasis_pools_pallas,
                                          _pool_merge_pallas,
-                                         _pack_chunk_pools)
+                                         _reconstruct_pallas,
+                                         _pass1_lane_width)
 
 K, T, L = 192, 2000, 128
 rng = np.random.default_rng(0)
@@ -45,7 +47,7 @@ def timeit(name, fn, *args, n=5):
 
 
 sn = noise_psd(C)
-timeit("noise_psd (pow2 nfft)", jax.jit(noise_psd), C)
+timeit("noise_psd jitted", jax.jit(noise_psd), C)
 
 # pass-1 shapes as used by oasis_ar1_pallas_dc at the bench config
 Kp = 256
@@ -56,31 +58,31 @@ vin = jnp.concatenate(
 vc = vin.reshape(Kp * nc, L)
 gc = jnp.repeat(jnp.tile(g, 2)[:Kp], nc)
 sc = jnp.repeat(jnp.tile(3.0 * sn, 2)[:Kp], nc)
+B1 = _pass1_lane_width(L, Kp * nc)
+print(f"pass1 lane width B={B1}")
+timeit("pass1 sample kernel",
+       lambda vc, gc, sc: _oasis_pools_pallas(vc, gc, sc, B=B1)[0],
+       vc, gc, sc)
 
-ref = None
-for B in (128, 2048):
-    out = timeit(f"pass1 sample kernel B={B}",
-                 lambda vc, gc, sc, B=B: _oasis_pools_pallas(vc, gc, sc, B=B)[0],
-                 vc, gc, sc)
-    if ref is None:
-        ref = out
-    else:
-        print(f"   max|dv| vs B=128: {float(jnp.max(jnp.abs(out - ref))):.3e}")
-
-# pass-2 timing: pack pass-1 pools, then the pool-merge kernel
-v1, w1, ts1, l1, n1 = _oasis_pools_pallas(vc, gc, sc, B=2048)
+v1, w1, ts1, l1, n1 = _oasis_pools_pallas(vc, gc, sc, B=B1)
 offs = (jnp.arange(Kp * nc, dtype=jnp.int32) % nc) * L
 ts1 = ts1 + offs[:, None]
-pv, pw, pts, plen, n_in = _pack_chunk_pools(
-    v1.reshape(Kp, nc, L), w1.reshape(Kp, nc, L),
-    ts1.reshape(Kp, nc, L), l1.reshape(Kp, nc, L), n1.reshape(Kp, nc), Tp)
-print(f"pool counts after pass1: max={int(jnp.max(n_in))} "
-      f"mean={float(jnp.mean(n_in)):.1f}", flush=True)
+print(f"pool counts after pass1: per-chunk max={int(jnp.max(n1))} "
+      f"total mean={float(jnp.mean(jnp.sum(n1.reshape(Kp, nc), 1))):.1f}",
+      flush=True)
 g2 = jnp.tile(g, 2)[:Kp]
 s2 = jnp.tile(3.0 * sn, 2)[:Kp]
-timeit("pass2 pool-merge kernel",
-       lambda *a: _pool_merge_pallas(*a)[0], pv, pw, pts, plen, n_in, g2, s2)
+args2 = (v1.reshape(Kp, nc, L), w1.reshape(Kp, nc, L),
+         ts1.reshape(Kp, nc, L), l1.reshape(Kp, nc, L),
+         n1.reshape(Kp, nc), g2, s2)
+timeit("pass2 chunked pool-merge kernel",
+       lambda *a: _pool_merge_pallas(*a)[0], *args2)
 
-timeit("foopsi end-to-end",
-       lambda C, g, sn: foopsi_ar1(C, g, smin=-3.0, sn=sn, optimize_b=False),
+v, w, ts, ln, n = _pool_merge_pallas(*args2)
+timeit("reconstruct kernel",
+       lambda *a: _reconstruct_pallas(*a, Tp)[0], v, w, ts, ln, n, g2)
+
+timeit("foopsi jitted end-to-end",
+       jax.jit(lambda C, g, sn: foopsi_ar1(C, g, smin=-3.0, sn=sn,
+                                           optimize_b=False).c),
        C, g, sn)
