@@ -40,6 +40,9 @@ class DeconvParams:
     # AR estimation (reference: estimate_time_constant.m)
     ar_lags: int = 5
     fudge_factor: float = 1.0
+    # stability clamp on estimated AR roots (wide: slow indicators keep
+    # their true decay; the reference only jitters unstable roots)
+    g_range: Tuple[float, float] = (0.05, 0.998)
     # bounds on the AR(1) coefficient, exp(-1/tau) with tau in frames
     tau_range: Optional[Tuple[float, float]] = None
     # thresholded-method knobs (thresholded_oasisAR1.m:71-80)

@@ -5,13 +5,20 @@ Reference: ``getReady_batch`` / ``initComponents_batch`` /
 (``Sources2D.m:268-325,708-738``): the movie splits into frame-range batches;
 A is shared across batches (synchronized by cc-weighted averaging,
 ``update_spatial_batch.m:20-35``), C solves per batch and concatenates.
+Crucially the reference runs a background update + residual neuron pick for
+EVERY batch and unions the discovered neurons across batches
+(``initComponents_batch.m:71-77``) — neurons that first become active late
+in a long recording are found in their own batch.
 
 Here each batch is an in-memory (T_b, H, W) slab streamed from a
 :class:`~cnmf_e_tpu.io.store.MovieStore` (or any sequence of arrays); the
-first batch runs the full pipeline, later batches inherit A, fit their own
-background + traces, and a final spatial-sync pass averages the per-batch
-footprints exactly (the frame-axis Gram sums add across batches — the
-sharded-T mesh does the same with a psum when batches fit on devices).
+first batch runs the full pipeline, later batches inherit the global A, fit
+their own background + traces, then pick new neurons from their residual.
+If any batch added neurons, every batch's traces are refit against the
+union A (the reference's A-sync + per-batch ``update_temporal_parallel``),
+and a final spatial-sync pass averages the per-batch footprints exactly
+(the frame-axis Gram sums add across batches — the sharded-T mesh does the
+same with a psum when batches fit on devices).
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ import numpy as np
 
 from cnmf_e_tpu.config import CNMFEParams
 from cnmf_e_tpu.models.background import subtract_background, update_background
+from cnmf_e_tpu.models.initialize import initialize_greedy
 from cnmf_e_tpu.models.pipeline import CNMFE
 from cnmf_e_tpu.models.state import CNMFEState
 from cnmf_e_tpu.models.temporal import update_temporal
@@ -49,31 +57,124 @@ def init_traces_given_A(Y: jnp.ndarray, state: CNMFEState,
     return update_temporal(Ysig, st, params)
 
 
+def residual_pick_batch(Y: jnp.ndarray, state: CNMFEState,
+                        params: CNMFEParams,
+                        verbose: bool = False) -> CNMFEState:
+    """Pick neurons missed by the inherited A from this batch's residual
+    (reference: ``initComponents_residual_parallel`` called per batch,
+    ``initComponents_batch.m:71-77``). New neurons append into the state's
+    free slots; their traces cover only this batch.
+
+    Picks that land within ``merge.dmin_only`` of an existing neuron are
+    dropped immediately — the in-memory pipeline folds such duplicates with
+    its later merge passes (``merge_close_neighbors`` role), but a
+    batch-local pick can't be trace-correlated against neurons whose
+    traces live in other batches, so distance is the only safe gate here.
+    """
+    before = np.asarray(state.active).copy()
+    Ysig = subtract_background(Y, state, params)
+    resid = Ysig - jnp.einsum("khw,kt->thw", state.masked_A(),
+                              state.masked_C())
+    state, _ = initialize_greedy(
+        resid, params, state=state,
+        min_corr=params.init.min_corr_res,
+        min_pnr=params.init.min_pnr_res, verbose=verbose)
+
+    new = np.asarray(state.active) & ~before
+    if new.any() and before.any():
+        A = np.asarray(state.A)
+        K, H, W = A.shape
+        yy, xx = np.mgrid[0:H, 0:W]
+        mass = A.sum(axis=(1, 2)) + 1e-12
+        cy = (A * yy).sum(axis=(1, 2)) / mass
+        cx = (A * xx).sum(axis=(1, 2)) / mass
+        old_idx = np.nonzero(before)[0]
+        drop = []
+        for k in np.nonzero(new)[0]:
+            dist = np.hypot(cy[old_idx] - cy[k], cx[old_idx] - cx[k])
+            if dist.min() <= params.merge.dmin_only:
+                drop.append(k)
+        if drop:
+            di = jnp.asarray(np.array(drop))
+            state = state.replace(
+                active=state.active.at[di].set(False),
+                A=state.A.at[di].set(0.0),
+                C=state.C.at[di].set(0.0),
+                C_raw=state.C_raw.at[di].set(0.0),
+                S=state.S.at[di].set(0.0))
+    return state
+
+
+def _union_new_neurons(st_global: CNMFEState, st_b: CNMFEState
+                       ) -> Tuple[CNMFEState, np.ndarray]:
+    """Copy neurons active in ``st_b`` but not in ``st_global`` (the
+    batch's residual picks) into the global footprint set."""
+    new = np.asarray(st_b.active) & ~np.asarray(st_global.active)
+    if not new.any():
+        return st_global, new
+    idx = jnp.asarray(np.nonzero(new)[0])
+    st_global = st_global.replace(
+        A=st_global.A.at[idx].set(st_b.A[idx]),
+        g=st_global.g.at[idx].set(st_b.g[idx]),
+        neuron_sn=st_global.neuron_sn.at[idx].set(st_b.neuron_sn[idx]),
+        active=st_global.active.at[idx].set(True))
+    return st_global, new
+
+
 def fit_batches(batches: Sequence, params: Optional[CNMFEParams] = None,
                 n_outer: int = 1, spatial_sync: bool = True,
-                verbose: bool = False) -> Tuple[CNMFEState, List[CNMFEState]]:
+                residual_pick: bool = True, verbose: bool = False,
+                run_log=None, resume_from: Optional[str] = None
+                ) -> Tuple[CNMFEState, List[CNMFEState]]:
     """Run batch-mode CNMF-E.
 
     ``batches``: sequence of (T_b, H, W) arrays (or a MovieStore's
-    ``iter_blocks()``). Returns (state with concatenated traces, list of
+    ``iter_blocks()``). ``run_log`` / ``resume_from``: forwarded to the
+    batch-1 full fit (LOGS semantics); per-batch snapshots are written when
+    a run_log is given. Returns (state with concatenated traces, list of
     per-batch states).
     """
     params = params or CNMFEParams.preset_1p()
     batches = list(batches)
     assert batches, "no batches"
+    def log(m):
+        if verbose:
+            print(f"[batch] {m}", flush=True)
+        if run_log is not None:
+            run_log.log(m)
 
     # ---- batch 1: full pipeline ------------------------------------- #
     model = CNMFE(params)
-    st0 = model.fit(batches[0], n_outer=n_outer, verbose=verbose)
+    st0 = model.fit(batches[0], n_outer=n_outer, verbose=verbose,
+                    run_log=run_log, resume_from=resume_from)
     per_batch = [st0]
+    st_global = st0
+    n0 = int(st0.n_active())
 
-    # ---- later batches: inherit A, fit background + traces ----------- #
+    # ---- later batches: inherit A, fit bg+traces, pick residual ------ #
     for b, Yb in enumerate(batches[1:], start=2):
         Yb = jnp.asarray(Yb, jnp.float32)
-        st_b = init_traces_given_A(Yb, st0, params)
+        st_b = init_traces_given_A(Yb, st_global, params)
+        if residual_pick:
+            st_b = residual_pick_batch(Yb, st_b, params, verbose=verbose)
+            st_global, new = _union_new_neurons(st_global, st_b)
+            if new.any():
+                log(f"batch {b}: +{int(new.sum())} residual neurons "
+                    f"(total {int(st_global.n_active())})")
         per_batch.append(st_b)
-        if verbose:
-            print(f"[batch {b}] traces fit ({int(st_b.n_active())} neurons)")
+        if run_log is not None:
+            run_log.snapshot(f"batch{b:02d}", st_b)
+        log(f"batch {b}: traces fit ({int(st_b.n_active())} neurons)")
+
+    # ---- A-sync: if any batch added neurons, refit every batch's traces
+    # against the union A (initComponents_batch.m:87-113 pads C across
+    # batches then runs update_temporal_parallel per batch)
+    if int(st_global.n_active()) > n0 and len(batches) > 1:
+        log(f"A-union grew {n0} -> {int(st_global.n_active())}: "
+            "refitting all batch traces")
+        per_batch = [init_traces_given_A(jnp.asarray(Yb, jnp.float32),
+                                         st_global, params)
+                     for Yb in batches]
 
     # ---- spatial sync: cc-weighted average of per-batch A ------------ #
     if spatial_sync and len(per_batch) > 1:
@@ -88,12 +189,32 @@ def fit_batches(batches: Sequence, params: Optional[CNMFEParams] = None,
             A_acc = contrib if A_acc is None else A_acc + contrib
             w_acc = cc if w_acc is None else w_acc + cc
         A_sync = A_acc / jnp.maximum(w_acc, 1e-12)[:, None, None]
-        per_batch = [st.replace(A=A_sync) for st in per_batch]
+        per_batch = [st.replace(A=A_sync, active=st_global.active)
+                     for st in per_batch]
 
     # ---- concatenate traces over time -------------------------------- #
     C = jnp.concatenate([st.C for st in per_batch], axis=-1)
     C_raw = jnp.concatenate([st.C_raw for st in per_batch], axis=-1)
     S = jnp.concatenate([st.S for st in per_batch], axis=-1)
     final = per_batch[0].replace(C=C, C_raw=C_raw, S=S,
-                                 A=per_batch[0].A)
+                                 A=per_batch[0].A,
+                                 active=st_global.active)
+
+    # ---- full-session QC + merges ------------------------------------ #
+    # residual picks were gated only by distance inside their batch; with
+    # the concatenated traces available, apply the same QC + merge passes
+    # the in-memory pipeline runs (remove_false_positives + dist_corr /
+    # dist_only merging over full-session correlations)
+    from cnmf_e_tpu.models.merge import merge_neurons
+    from cnmf_e_tpu.models.qc import remove_false_positives, tag_neurons
+    k_before = int(final.n_active())
+    final = remove_false_positives(final, params)
+    final, _ = merge_neurons(final, params, "dist_corr")
+    final, _ = merge_neurons(final, params, "dist_only")
+    final = tag_neurons(final, params)
+    if int(final.n_active()) != k_before:
+        log(f"full-session QC/merges: {k_before} -> "
+            f"{int(final.n_active())} neurons")
+    if run_log is not None:
+        run_log.snapshot("batch_final", final)
     return final, per_batch

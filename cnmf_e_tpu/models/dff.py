@@ -64,3 +64,36 @@ def extract_dff(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
     C_raw_df = state.C_raw / F0
     act = state.active[:, None]
     return jnp.where(act, C_df, 0.0), jnp.where(act, C_raw_df, 0.0), F0
+
+
+def extract_dff_batches(blocks, batch_states, final_state: CNMFEState,
+                        params: CNMFEParams, window: Optional[int] = None,
+                        prctile: float = 50.0
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DF/F for batch-mode results: the footprint-projected background is
+    accumulated block by block (each block uses its own batch's background
+    model), F0 is then the whole-session percentile — so long recordings
+    get the same baseline semantics as the in-memory path.
+
+    ``final_state`` holds the concatenated traces (from ``fit_batches``).
+    """
+    K = final_state.K_max
+    A = final_state.masked_A().reshape(K, -1)
+    norm = jnp.sum(A * A, axis=1)
+    An = A / jnp.maximum(norm, 1e-12)[:, None]
+    Ybg_parts = []
+    for Yb, st_b in zip(blocks, batch_states):
+        Yb = jnp.asarray(Yb, jnp.float32)
+        Tb = Yb.shape[0]
+        B = background_of(Yb, st_b, params)
+        Ybg_parts.append(jnp.einsum("kd,td->kt", An, B.reshape(Tb, -1)))
+    Ybg = jnp.concatenate(Ybg_parts, axis=-1)             # (K, T_total)
+    T = Ybg.shape[-1]
+    if window is None or window >= T:
+        F0 = jnp.percentile(Ybg, prctile, axis=-1)[:, None]
+    else:
+        F0 = running_percentile(Ybg, window, prctile)
+    F0 = jnp.maximum(F0, 1e-12)
+    act = final_state.active[:, None]
+    return (jnp.where(act, final_state.C / F0, 0.0),
+            jnp.where(act, final_state.C_raw / F0, 0.0), F0)

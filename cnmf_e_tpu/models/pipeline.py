@@ -120,7 +120,11 @@ class CNMFE:
             state = update_temporal(Ysig, state, p)
             state = remove_false_positives(state, p)
             state, nm = merge_neurons(state, p, "dist_corr")
-            log(f"iter {it}: temporal + QC + merge({nm}), "
+            # spatial refit inside the loop: the reference demo interleaves
+            # spatial with temporal every pass (demo_large_data_1p.m:199-213,
+            # holding B fixed between background refreshes as here)
+            state = update_spatial(Ysig, state, p)
+            log(f"iter {it}: temporal + QC + merge({nm}) + spatial, "
                 f"{int(state.n_active())} neurons ({time.time() - t0:.1f}s)")
 
         # fold co-located duplicates (ghosts from the residual pick) into

@@ -102,10 +102,16 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     for it in range(n_outer):
         A = state.masked_A()
 
-        # ---- temporal pass 1: project traces per block ------------------
+        # ---- temporal pass 1: Gram-accumulated HALS over blocks ---------
+        # U = A^T Ysig accumulates per block (K x T fits on device even at
+        # 100k frames); V = A^T A is frame-independent — so the full
+        # cross-term coordinate descent (HALS_temporal.m:58-107) runs
+        # EXACTLY as in-memory. A diagonal projection (A Ysig)/||a||^2
+        # would leave overlapping neurons' traces correlated and biased.
         Ad = A.reshape(K_cap, -1)
         aa = jnp.sum(Ad * Ad, axis=1)
-        C_parts = []
+        V = Ad @ Ad.T                                        # (K, K)
+        U_parts = []
         for b, Yb in enumerate(store.iter_blocks()):
             Yb = jnp.asarray(Yb)
             if weights is not None:
@@ -114,9 +120,14 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                                       radius, H, W)
             else:
                 Ysig = Yb - Ymean[None]
-            C_parts.append((Ad @ Ysig.reshape(Yb.shape[0], -1).T)
-                           / jnp.maximum(aa, 1e-12)[:, None])
-        C_raw = jnp.concatenate(C_parts, axis=1)
+            U_parts.append(Ad @ Ysig.reshape(Yb.shape[0], -1).T)
+        U = jnp.concatenate(U_parts, axis=1)                 # (K, T)
+        del U_parts
+        C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
+        from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
+        C_raw = hals_temporal_sweeps(U, V, C0,
+                                     n_iter=params.temporal.n_iter,
+                                     active=state.active)
         med = jnp.median(C_raw, axis=-1, keepdims=True)
         below = C_raw < med
         base = jnp.sum(jnp.where(below, C_raw, 0.0), axis=-1) / \

@@ -40,21 +40,25 @@ def autocovariance(y: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     return xc
 
 
-@functools.partial(jax.jit, static_argnames=("p", "lags"))
+@functools.partial(jax.jit, static_argnames=("p", "lags", "g_range"))
 def estimate_time_constant(
     y: jnp.ndarray,
     p: int = 1,
     sn: jnp.ndarray | None = None,
     lags: int = 5,
     fudge_factor: float = 1.0,
+    g_range: Tuple[float, float] = (0.05, 0.998),
 ) -> jnp.ndarray:
     """Estimate AR(p) coefficients ``g`` from a fluorescence trace.
 
     Batched over leading axes; returns shape ``(..., p)``. Mirrors the
     reference's noise-corrected Yule-Walker solve: build the (lags x p)
     Toeplitz system from the autocovariance, subtract ``sn^2`` on the
-    diagonal, least-squares solve, then clamp AR roots into (0, 1) and apply
-    the fudge factor (deterministically — the reference jitters with randn).
+    diagonal, least-squares solve, then clamp AR roots into ``g_range``
+    (stability guard only — the reference jitters unstable roots with
+    randn, ``estimate_time_constant.m:43-50``; the wide default keeps slow
+    indicators like GCaMP6s at high frame rates, tau >> 20 frames, intact;
+    pass a narrower range to mimic ``deconvolveCa``'s tau_range clamp).
     """
     if sn is None:
         sn = noise_psd(y)
@@ -75,9 +79,10 @@ def estimate_time_constant(
     Atb = jnp.einsum("...lp,...l->...p", A, b)
     g = jnp.linalg.solve(AtA + 1e-12 * jnp.eye(p, dtype=y.dtype), Atb[..., None])[..., 0]
 
-    # clamp roots into (0, 1) for stability, then rebuild coefficients
+    # clamp roots into g_range for stability, then rebuild coefficients
+    g_lo, g_hi = g_range
     if p == 1:
-        r = jnp.clip(g[..., 0], 0.15, 0.95)
+        r = jnp.clip(g[..., 0], g_lo, g_hi)
         r = jnp.where(jnp.isfinite(r), r, 0.8)
         return (fudge_factor * r)[..., None]
     elif p == 2:
@@ -89,7 +94,7 @@ def estimate_time_constant(
         # complex roots -> use real part (deterministic variant of reference)
         r1 = jnp.where(disc < 0, g1 / 2.0, r1)
         r2 = jnp.where(disc < 0, g1 / 2.0 * 0.5, r2)
-        clamp = lambda r: jnp.where(r > 1.0, 0.95, jnp.where(r < 0.0, 0.15, r))
+        clamp = lambda r: jnp.where(r > 1.0, g_hi, jnp.where(r < 0.0, g_lo, r))
         r1, r2 = clamp(r1), clamp(r2)
         r1 = jnp.where(jnp.isfinite(r1), r1, 0.8)
         r2 = jnp.where(jnp.isfinite(r2), r2, 0.3)

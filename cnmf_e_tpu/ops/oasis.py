@@ -549,7 +549,8 @@ def deconvolve(y: jnp.ndarray, params: DeconvParams,
         p = 1 if params.model == "ar1" else 2
         if g is None:
             g = estimate_time_constant(y, p=p, sn=sn, lags=params.ar_lags,
-                                       fudge_factor=params.fudge_factor)
+                                       fudge_factor=params.fudge_factor,
+                                       g_range=params.g_range)
         if params.tau_range is not None and p == 1:
             g_lo = jnp.exp(-1.0 / params.tau_range[0])
             g_hi = jnp.exp(-1.0 / params.tau_range[1])

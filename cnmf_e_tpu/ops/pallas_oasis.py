@@ -144,7 +144,7 @@ def _pass1_lane_width(T: int, lanes: int) -> int:
     bound (per-iteration while/fori overhead dwarfs the vector work on a
     (T, B) tile), so B should be as wide as the VMEM budget allows:
     5 resident (T, B) f32/i32 arrays + in-loop temporaries, budgeted at
-    ~8 bytes/lane/sample against an 8 MB scoped-VMEM target."""
+    ~32 bytes/lane/sample against an 8 MB scoped-VMEM target."""
     budget = 8 * 2 ** 20
     b = budget // (32 * T) // 128 * 128
     b = max(128, min(4096, b))
@@ -342,7 +342,8 @@ def _pool_merge_pallas(v0, w0, ts0, l0, n_in, g, smin, interpret=False):
 
     v0/w0/ts0/l0: (Kp, nc, L) chunk-local pools exactly as pass 1 wrote
     them (chunk c's valid pools at slots 0..n_in[lane, c)); n_in: (Kp, nc)
-    per-chunk counts. Kp a multiple of 128, L a multiple of 128. Returns
+    per-chunk counts. Kp a multiple of 128, L a multiple of 8 (the (PL, B)
+    panel's sublane dim — L=64 is fine and used by the DC path). Returns
     merged pool arrays (Kp, nc*L) + total counts — consuming the chunk
     lists in place avoids the (K, T) argsort a host-side stream compaction
     would need."""
@@ -528,7 +529,14 @@ def oasis_ar1_pallas_dc(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
         v1.reshape(Kp, nc, L), w1.reshape(Kp, nc, L),
         ts1.reshape(Kp, nc, L), l1.reshape(Kp, nc, L),
         n1.reshape(Kp, nc), g, smin, interpret=interpret)
-    c, s = _reconstruct_pallas(v, w, ts, ln, n, g, Tp, interpret=interpret)
+    if Tp <= 3072:
+        c, s = _reconstruct_pallas(v, w, ts, ln, n, g, Tp,
+                                   interpret=interpret)
+    else:
+        # same guard as the single-pass path: the reconstruction kernel's
+        # 6 (Tp, 128) VMEM blocks overflow the ~16 MB scoped budget past
+        # Tp = 3072 — fall back to the XLA reconstruction
+        c, s = _reconstruct(v, w, ts, ln, n, g, Tp)
     return c[:K, :T], s[:K, :T]
 
 

@@ -105,15 +105,17 @@ def main(argv=None):
     shape, dtype = probe_movie(args.movie)
     run_log.log(f"input {args.movie}: shape={shape} dtype={dtype}")
 
+    batch_states = None
     if args.batch_frames > 0:
         from cnmf_e_tpu.models.batch import fit_batches
         store = distribute_movie(args.movie, os.path.join(workdir, "store"),
                                  frames_per_block=args.batch_frames)
-        state, _ = fit_batches(list(store.iter_blocks()), params,
-                               n_outer=args.n_outer, verbose=verbose)
+        blocks = list(store.iter_blocks())
+        state, batch_states = fit_batches(
+            blocks, params, n_outer=args.n_outer, verbose=verbose,
+            run_log=run_log, resume_from=args.resume)
         model = CNMFE(params)
         model.state = state
-        Y = store.read_frames(0, min(args.batch_frames, shape[0]))
     else:
         Y = load_movie(args.movie, 0, args.frames)
         model = CNMFE(params)
@@ -139,8 +141,13 @@ def main(argv=None):
                                     state)
         run_log.log(f"matlab export -> {mat_path}")
 
-    if args.dff and args.batch_frames == 0:
-        C_df, C_raw_df, F0 = model.dff(Y)
+    if args.dff:
+        if args.batch_frames > 0:
+            from cnmf_e_tpu.models.dff import extract_dff_batches
+            C_df, C_raw_df, F0 = extract_dff_batches(
+                blocks, batch_states, state, params)
+        else:
+            C_df, C_raw_df, F0 = model.dff(Y)
         np.savez_compressed(os.path.join(run_log.dir, "dff.npz"),
                             C_df=np.asarray(C_df),
                             C_raw_df=np.asarray(C_raw_df),

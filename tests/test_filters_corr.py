@@ -62,3 +62,18 @@ def test_box_downsample():
     assert out.shape == (1, 4, 4)
     np.testing.assert_allclose(float(out[0, 0, 0]),
                                np.mean([[0, 1], [8, 9]]) + 32.0)
+
+
+def test_filter_movie_mxu_matches_conv(rng):
+    """The separable banded-matmul stencil (TPU path) equals the conv path
+    including replicate-edge handling, for both gaussian and
+    center-surround PSFs and an asymmetric PSF."""
+    from cnmf_e_tpu.ops.filters import (_filter_movie_mxu, filter_movie,
+                                        gaussian_psf)
+    import jax
+    Y = jnp.asarray(rng.standard_normal((7, 40, 56)), jnp.float32)
+    asym = rng.standard_normal((5, 7)).astype(np.float32)
+    for psf in (gaussian_psf(2.0, False), gaussian_psf(2.5, True), asym):
+        ref = np.asarray(filter_movie(Y, psf))   # conv path on CPU
+        out = np.asarray(_filter_movie_mxu(Y, psf))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

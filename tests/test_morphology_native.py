@@ -107,9 +107,28 @@ def test_hals_decreases_rss(rng):
     assert rss(A2, C2) <= r2 * 1.01
 
 
+def _hals_spatial_oracle(U, V, A, mask, n_iter):
+    """Independent float64 per-neuron Gauss-Seidel update
+    (HALS_spatial.m:34-46): a_k <- max(0, a_k + (U_k - A V_k)/V_kk) on the
+    masked support, skipping silent neurons (V_kk <= 0)."""
+    A = np.where(mask, A, 0.0).astype(np.float64)
+    U = U.astype(np.float64)
+    V = V.astype(np.float64)
+    cc = np.diag(V)
+    K = A.shape[1]
+    for _ in range(n_iter):
+        for k in range(K):
+            if cc[k] <= 0:
+                continue
+            ak = A[:, k] + (U[:, k] - A @ V[:, k]) / max(cc[k], 1e-12)
+            A[:, k] = np.where(mask[:, k], np.maximum(ak, 0.0), 0.0)
+    return A
+
+
 def test_hals_spatial_blocked_gs_matches_per_neuron(rng):
-    """The blocked Gauss-Seidel sweep is the exact per-neuron update
-    (HALS_spatial.m:34-46) for every block size, incl. non-dividing ones."""
+    """Every block size of the blocked Gauss-Seidel sweep matches an
+    independent float64 numpy oracle of the per-neuron update
+    (HALS_spatial.m:34-46), incl. non-dividing block sizes."""
     from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
 
     d, K, T = 400, 37, 150
@@ -120,12 +139,9 @@ def test_hals_spatial_blocked_gs_matches_per_neuron(rng):
     V = C @ C.T
     U = Y @ C.T
 
-    # per-neuron reference (block=1 is the unblocked update)
-    ref = np.asarray(hals_spatial_sweeps(
-        jnp.asarray(U), jnp.asarray(V), jnp.asarray(A),
-        mask=jnp.asarray(mask), n_iter=3, block=1))
-    for block in (7, 16, 64):
+    ref = _hals_spatial_oracle(U, V, A, mask, n_iter=3)
+    for block in (1, 7, 16, 64):
         out = np.asarray(hals_spatial_sweeps(
             jnp.asarray(U), jnp.asarray(V), jnp.asarray(A),
             mask=jnp.asarray(mask), n_iter=3, block=block))
-        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

@@ -112,3 +112,81 @@ def test_causal_conv_matches_numpy(rng):
     out = causal_conv(jnp.asarray(s), jnp.asarray(h))
     ref = np.stack([np.convolve(si, h)[:50] for si in s])
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_constrained_ar2_hits_noise_budget(rng):
+    """Lambda bisection on the windowed solver reaches RSS = sn^2 T within
+    a few percent (constrained_oasisAR2.m:1-60 semantics)."""
+    from cnmf_e_tpu.ops.onnls import constrained_onnls
+    d, r = 0.9, 0.45
+    T = 600
+    ys, sns = [], []
+    for i in range(3):
+        y, _, _ = _ar2_trace(rng, T, d, r, sn=0.12, rate=0.03)
+        ys.append(y)
+    ys = np.stack(ys).astype(np.float32)
+    from cnmf_e_tpu.ops.noise import estimate_noise
+    sn = estimate_noise(jnp.asarray(ys), "psd")
+    c, s, b, lam = constrained_onnls(
+        jnp.asarray(ys), jnp.full((3,), d, jnp.float32),
+        jnp.full((3,), r, jnp.float32), sn, optimize_b=False, n_bisect=16)
+    rss = np.sum((ys - np.asarray(c)) ** 2, axis=-1)
+    target = np.asarray(sn) ** 2 * T
+    rel = np.abs(rss - target) / target
+    assert np.all(np.asarray(lam) > 0), lam
+    assert np.all(rel < 0.05), (rss, target, rel)
+
+
+def test_thresholded_ar2_approaches_noise_budget(rng):
+    """smin bisection: RSS lands at/below the noise budget and spikes below
+    the final floor are zero (thresholded_oasisAR2.m:79-140 semantics)."""
+    from cnmf_e_tpu.ops.onnls import thresholded_onnls
+    d, r = 0.9, 0.45
+    T = 600
+    y, _, _ = _ar2_trace(rng, T, d, r, sn=0.1, rate=0.04)
+    y = y[None].astype(np.float32)
+    from cnmf_e_tpu.ops.noise import estimate_noise
+    sn = estimate_noise(jnp.asarray(y), "psd")
+    c, s, b, smin = thresholded_onnls(
+        jnp.asarray(y), jnp.asarray([d], jnp.float32),
+        jnp.asarray([r], jnp.float32), sn, optimize_b=False)
+    rss = float(np.sum((y - np.asarray(c)) ** 2))
+    target = float(sn[0]) ** 2 * T
+    assert rss <= target * 1.15, (rss, target)
+    s_np = np.asarray(s[0])
+    nz = s_np[s_np > 0]
+    assert nz.size == 0 or nz.min() >= float(smin[0]) - 1e-5
+
+
+def test_deconvolve_constrained_ar2_dispatch(rng):
+    """deconvolve(model='ar2', method='constrained') runs the REAL lambda
+    search (no silent lam=0 degradation)."""
+    d, r = 0.88, 0.4
+    ys = np.stack([_ar2_trace(rng, 400, d, r, sn=0.1, rate=0.03)[0]
+                   for _ in range(2)]).astype(np.float32)
+    out = deconvolve(jnp.asarray(ys),
+                     DeconvParams(model="ar2", method="constrained",
+                                  optimize_b=False))
+    T = ys.shape[-1]
+    from cnmf_e_tpu.ops.noise import estimate_noise
+    sn = np.asarray(estimate_noise(jnp.asarray(ys), "psd"))
+    rss = np.sum((ys - np.asarray(out.c)) ** 2, axis=-1)
+    # the solution respects the noise budget (lambda search engaged)
+    assert np.all(np.asarray(out.lam) >= 0)
+    assert np.all(rss <= sn ** 2 * T * 1.1), (rss, sn ** 2 * T)
+
+
+def test_optimize_exp2_recovers_kernel(rng):
+    """Golden-section (d, r) search recovers the true kernel parameters
+    from traces generated with a different initialization
+    (update_kernel_exp2.m / update_tau.m role)."""
+    from cnmf_e_tpu.ops.onnls import optimize_exp2
+    d_true, r_true = 0.92, 0.35
+    ys = np.stack([_ar2_trace(rng, 500, d_true, r_true, sn=0.05,
+                              rate=0.03)[0] for _ in range(2)])
+    d0 = jnp.full((2,), 0.8, jnp.float32)
+    r0 = jnp.full((2,), 0.55, jnp.float32)
+    d, r, c, s = optimize_exp2(jnp.asarray(ys, jnp.float32), d0, r0,
+                               n_outer=2, n_golden=10)
+    assert np.all(np.abs(np.asarray(d) - d_true) < 0.04), d
+    assert np.all(np.abs(np.asarray(r) - r_true) < 0.12), r

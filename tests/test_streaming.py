@@ -35,3 +35,103 @@ def test_streaming_pipeline(tmp_path):
     assert f1["recall"] >= 0.7, f1
     corrs = trace_corr(np.asarray(state.C)[:n], gt.C, f1["matches"])
     assert np.median(corrs) > 0.85, corrs
+
+
+def test_streaming_gram_hals_matches_inmemory(rng):
+    """The streamed temporal pass (blockwise U accumulation +
+    hals_temporal_sweeps) equals the in-memory coordinate descent on the
+    same Grams — overlapping neurons get the exact cross-term updates, not
+    a diagonal projection."""
+    from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
+    H = W = 24
+    T = 300
+    K = 3
+    # heavily overlapping footprints
+    yy, xx = np.mgrid[0:H, 0:W]
+    centers = [(12, 10), (12, 14), (10, 12)]
+    A = np.stack([np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 8.0)
+                  for cy, cx in centers]).astype(np.float32)
+    C_true = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+    Y = np.einsum("khw,kt->thw", A, C_true) + \
+        0.02 * rng.standard_normal((T, H, W)).astype(np.float32)
+    Yd = Y.reshape(T, -1).T.astype(np.float32)
+    Ad = A.reshape(K, -1)
+
+    # in-memory: one Gram matmul
+    V = jnp.asarray(Ad @ Ad.T)
+    aa = np.sum(Ad * Ad, axis=1)
+    C0 = jnp.asarray(np.maximum((Ad @ Yd) / aa[:, None], 0.0))
+    ref = hals_temporal_sweeps(jnp.asarray(Ad @ Yd), V, C0, n_iter=4)
+
+    # streamed: accumulate U over 3 blocks
+    U_parts = [jnp.asarray(Ad) @ jnp.asarray(Y[t0:t0 + 100]).reshape(100, -1).T
+               for t0 in (0, 100, 200)]
+    U_stream = jnp.concatenate(U_parts, axis=1)
+    out = hals_temporal_sweeps(U_stream, V, C0, n_iter=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # and the sweeps actually demix the overlap: corr to truth ~1
+    for k in range(K):
+        corr = np.corrcoef(np.asarray(out)[k], C_true[k])[0, 1]
+        assert corr > 0.99, (k, corr)
+
+
+def _late_firing_movie(seed=91, H=48, W=48, T=3000, K=8, late_k=3,
+                       t_late=1500):
+    """Movie where the last ``late_k`` neurons fire only after ``t_late``
+    (the batch-mode residual-pick acceptance case,
+    initComponents_batch.m:71-77)."""
+    from cnmf_e_tpu.utils.simulate import (ar1_traces, gaussian_footprints,
+                                           smooth_field, GroundTruth)
+    rng_ = np.random.default_rng(seed)
+    A, centers = gaussian_footprints(rng_, K, H, W, 2.5, min_dist=12.0)
+    K = A.shape[0]
+    C, S = ar1_traces(rng_, K, T, g=0.95, rate=0.04)
+    S[-late_k:, :t_late] = 0.0
+    C2 = np.zeros_like(C)
+    for t in range(T):
+        C2[:, t] = (C2[:, t - 1] * 0.95 if t else 0.0) + S[:, t]
+    b0 = 1.0 * (0.5 + smooth_field(rng_, H, W, scale=max(H, W) / 2))
+    prof = 0.7 * smooth_field(rng_, H, W, scale=max(H, W) / 3)
+    drive = np.convolve(rng_.standard_normal(T),
+                        np.exp(-np.arange(200) / 80.0), mode="same")
+    drive /= np.abs(drive).max()
+    Bf = drive[:, None, None] * prof[None]
+    Y = (np.einsum("khw,kt->thw", A, C2) + b0[None] + Bf
+         + 0.08 * rng_.standard_normal((T, H, W))).astype(np.float32)
+    return GroundTruth(Y=Y, A=A.astype(np.float32),
+                       C=C2.astype(np.float32), S=S.astype(np.float32),
+                       b0=b0, Bf=Bf, centers=centers, g=0.95, sn=0.08)
+
+
+@pytest.mark.slow
+def test_late_firing_neurons_recovered_by_batches_and_streaming(tmp_path):
+    """Neurons first active in the second half are recovered by both batch
+    mode (per-batch residual picks + A-union) and streaming (decimated
+    proxy init sees the whole session)."""
+    from cnmf_e_tpu.models.batch import fit_batches
+    gt = _late_firing_movie()
+    params = CNMFEParams(
+        init=InitParams(gSig=2.5, gSiz=8, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=32, seeds_per_round=16, max_rounds=5),
+        background=BackgroundParams(model="ring", ring_radius=9),
+        merge=MergeParams(dmin=4.0),
+    )
+
+    final, per_batch = fit_batches(
+        [gt.Y[:1000], gt.Y[1000:2000], gt.Y[2000:]], params, verbose=True)
+    n = int(final.n_active())
+    A_est = np.asarray(final.masked_A())
+    A_est = A_est[np.asarray(final.active)]
+    f1 = detection_f1(A_est, gt.A)
+    assert f1["f1"] >= 0.9, f1
+
+    src = str(tmp_path / "m.npy")
+    np.save(src, gt.Y)
+    store = distribute_movie(src, str(tmp_path / "store"),
+                             frames_per_block=500)
+    st = fit_streaming(store, params, n_outer=2, init_budget_frames=1500,
+                       verbose=True)
+    A_est2 = np.asarray(st.masked_A())[np.asarray(st.active)]
+    f1s = detection_f1(A_est2, gt.A)
+    assert f1s["f1"] >= 0.9, f1s
