@@ -159,6 +159,10 @@ class MergeParams:
     # demo default 2.4 * gSig); folds duplicate/ghost components into their
     # originals regardless of trace correlation
     dmin_only: float = 6.0
+    # optional decay-time gate: candidates also need per-neuron decay time
+    # constants within max_decay_diff frames of each other
+    # (merge_neurons_dist_corr.m:74-81); None disables the gate
+    max_decay_diff: Optional[float] = None
     # rank-1 refit iterations after a merge (reference uses 10 alternating LS)
     refit_iters: int = 10
 
@@ -171,6 +175,9 @@ class QCParams:
     # minimum spike count for a neuron to be "active"
     min_spike_count: int = 1
     min_pnr: float = 3.0
+    # classify_components energy-on-active-pixels threshold (0 = off);
+    # applied by remove_false_positives when an active-pixel mask is given
+    classify_cl_thr: float = 0.0
 
 
 @dataclass(frozen=True)

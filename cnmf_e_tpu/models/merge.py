@@ -44,10 +44,26 @@ def _cosine_rows(X: np.ndarray) -> np.ndarray:
     return (X @ X.T) / np.outer(n, n)
 
 
+def decay_times(state: CNMFEState) -> np.ndarray:
+    """Per-neuron decay time constant (frames) from the AR coefficients:
+    tau_d = -1 / log(d) with d the dominant root (``ar2exp`` of the kernel
+    pars, as in ``Sources2D.m:585-596``)."""
+    g = np.asarray(state.g)
+    if g.shape[1] == 1:
+        d = np.clip(g[:, 0], 1e-4, 1 - 1e-6)
+    else:
+        g1, g2 = g[:, 0], g[:, 1]
+        d = (g1 + np.sqrt(np.maximum(g1 * g1 + 4 * g2, 0.0))) / 2.0
+        d = np.clip(d, 1e-4, 1 - 1e-6)
+    return -1.0 / np.log(d)
+
+
 def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams
                                ) -> np.ndarray:
     """Adjacency for distance+correlation merging
-    (``merge_neurons_dist_corr.m:54-82``)."""
+    (``merge_neurons_dist_corr.m:54-82``), with the optional decay-time
+    gate (``:74-81``: skip pairs whose decay constants differ by more than
+    ``max_decay_diff`` frames)."""
     active = np.asarray(state.active)
     A = np.asarray(state.masked_A())
     C = np.asarray(state.C)
@@ -55,6 +71,10 @@ def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams
     dist = np.linalg.norm(ctr[:, None] - ctr[None], axis=-1)
     cc = _corr_rows(C)
     adj = (dist <= params.merge.dmin) & (cc >= params.merge.merge_thr)
+    if params.merge.max_decay_diff is not None:
+        tau = decay_times(state)
+        adj &= (np.abs(tau[:, None] - tau[None, :])
+                <= params.merge.max_decay_diff)
     adj &= np.outer(active, active)
     np.fill_diagonal(adj, False)
     return adj

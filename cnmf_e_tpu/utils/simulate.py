@@ -105,7 +105,8 @@ def simulate_movie(seed: int = 0, H: int = 64, W: int = 64, T: int = 1000,
         prof = smooth_field(rng, H, W, scale=max(H, W) / 3)
         tau = rng.uniform(50, 200)
         drive = np.convolve(rng.standard_normal(T),
-                            np.exp(-np.arange(200) / tau), mode="same")
+                            np.exp(-np.arange(min(200, T)) / tau),
+                            mode="same")
         drive /= max(np.abs(drive).max(), 1e-12)
         drives[i] = drive
         profs[i] = bg_strength * prof.ravel()
