@@ -1,9 +1,11 @@
-"""Minimal RIFF/AVI reader for uncompressed grayscale movies.
+"""Minimal RIFF/AVI reader for grayscale movies.
 
-Reference reads AVI via VideoReader (``smod_bigread2.m``). Without a codec
-stack we support the raw cases acquisition tools emit: 'DIB '/raw (BI_RGB)
-8/16-bit frames, and 'Y800'/'GREY' fourccs. Compressed AVIs raise with a
-clear message.
+Reference reads AVI via VideoReader (``smod_bigread2.m``). Natively
+supported: raw cases acquisition tools emit — 'DIB '/raw (BI_RGB) 8/16-bit
+frames, and 'Y800'/'GREY' fourccs. MJPEG ('MJPG') is supported through a
+per-chunk JPEG decode (every MJPEG frame is a standalone JPEG; the RIFF
+index built here keeps random access) via cv2 or PIL when available.
+Other codecs raise with a clear message.
 """
 
 from __future__ import annotations
@@ -23,6 +25,28 @@ class AviInfo:
     frame_sizes: List[int]
     bits: int
     upside_down: bool                    # BMP rows bottom-up
+    codec: str = "raw"                   # {"raw", "mjpeg"}
+
+
+def _decode_jpeg_gray(buf: bytes) -> np.ndarray:
+    """Decode one JPEG to grayscale via cv2 (preferred) or PIL."""
+    try:
+        import cv2
+        arr = np.frombuffer(buf, np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise ValueError("cv2 could not decode MJPEG frame")
+        return img
+    except ImportError:
+        pass
+    try:
+        import io as _io
+        from PIL import Image
+        return np.asarray(Image.open(_io.BytesIO(buf)).convert("L"))
+    except ImportError as e:
+        raise NotImplementedError(
+            "MJPEG AVI needs cv2 or PIL for the JPEG decode; neither is "
+            "importable — convert to TIFF/HDF5 first") from e
 
 
 def _read_chunks(f, end, depth=0):
@@ -82,15 +106,22 @@ def probe_avi(path: str) -> AviInfo:
         GREY = {0, struct.unpack("<I", b"Y800")[0],
                 struct.unpack("<I", b"GREY")[0],
                 struct.unpack("<I", b"DIB ")[0]}
-        if compression not in GREY:
+        MJPG = {struct.unpack("<I", b"MJPG")[0],
+                struct.unpack("<I", b"mjpg")[0]}
+        if compression in MJPG:
+            codec = "mjpeg"
+        elif compression in GREY:
+            codec = "raw"
+        else:
             raise NotImplementedError(
                 f"compressed AVI (fourcc {compression:#x}) not supported; "
                 "convert to TIFF/HDF5 first")
         if not frame_offsets:
             raise ValueError("no video frames found in AVI")
-        dtype = np.uint16 if bits == 16 else np.uint8
+        dtype = np.uint16 if bits == 16 and codec == "raw" else np.uint8
         return AviInfo((len(frame_offsets), H, W), dtype, frame_offsets,
-                       frame_sizes, bits, upside_down=True)
+                       frame_sizes, bits, upside_down=(codec == "raw"),
+                       codec=codec)
 
 
 def read_avi(path: str, start: int = 0, count: Optional[int] = None
@@ -111,6 +142,10 @@ def read_avi(path: str, start: int = 0, count: Optional[int] = None
             sz = info.frame_sizes[start + i]
             f.seek(off)
             raw = f.read(sz)
+            if info.codec == "mjpeg":
+                img = _decode_jpeg_gray(raw)
+                out[i] = img[:H, :W]
+                continue
             if sz >= row_bytes * H:
                 frame = np.frombuffer(raw[:row_bytes * H], np.uint8)
                 frame = frame.reshape(H, row_bytes)[:, :W * itemsize]

@@ -3,16 +3,19 @@
 Covers the formats the reference reads with ``smod_bigread2.m`` /
 ``get_data_dimension.m``: classic multi-page grayscale TIFF and ImageJ's
 "fake-bigtiff" (one IFD + ``images=N`` in the ImageDescription, frames laid
-out contiguously after the first strip). Supports uint8/16/32 and float32,
-little- and big-endian, strip-based storage (the formats calcium-imaging
-acquisition software writes).
+out contiguously after the first strip), real BigTIFF (magic 43), and the
+compressed variants acquisition software emits: LZW (5), Deflate (8/32946)
+and PackBits (32773), each with the optional horizontal differencing
+predictor (tag 317 = 2), and multi-strip frames. Supports uint8/16/32 and
+float32, little- and big-endian.
 """
 
 from __future__ import annotations
 
 import re
 import struct
-from dataclasses import dataclass
+import zlib
+from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -26,6 +29,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
@@ -33,16 +37,35 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
              16: "Q", 17: "q"}
 
+_COMP_NONE = 1
+_COMP_LZW = 5
+_COMP_DEFLATE = 8
+_COMP_DEFLATE_OLD = 32946
+_COMP_PACKBITS = 32773
+
+
+@dataclass
+class FramePlan:
+    """Strip layout of one frame: parallel (offset, nbytes) lists."""
+    offsets: Tuple[int, ...]
+    counts: Tuple[int, ...]
+
 
 @dataclass
 class TiffInfo:
     shape: Tuple[int, int, int]     # (T, H, W)
     dtype: np.dtype
-    # per-frame (offset, nbytes) when every frame is contiguous
+    # per-frame (offset, nbytes) when every frame is contiguous+raw
     frame_offsets: List[int]
     frame_nbytes: int
     byteorder: str                  # '<' or '>'
     imagej_contiguous: bool
+    compression: int = _COMP_NONE
+    predictor: int = 1
+    rows_per_strip: int = 0
+    # general path: per-frame strip plans (set when compression != 1 or
+    # frames are multi-strip)
+    frames: Optional[List[FramePlan]] = None
 
 
 def _read_ifd(f, offset, bo, big):
@@ -105,36 +128,144 @@ def probe_tiff(path: str) -> TiffInfo:
         W = tags[_TAG_WIDTH][0]
         bits = tags.get(_TAG_BITS, (8,))[0]
         fmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))[0]
-        if tags.get(_TAG_COMPRESSION, (1,))[0] != 1:
-            raise ValueError("compressed TIFF not supported")
+        comp = tags.get(_TAG_COMPRESSION, (_COMP_NONE,))[0]
+        pred = tags.get(_TAG_PREDICTOR, (1,))[0]
+        rps = tags.get(_TAG_ROWS_PER_STRIP, (H,))[0]
+        if comp not in (_COMP_NONE, _COMP_LZW, _COMP_DEFLATE,
+                        _COMP_DEFLATE_OLD, _COMP_PACKBITS):
+            raise ValueError(f"unsupported TIFF compression {comp}")
         kind = {1: "u", 2: "i", 3: "f"}[fmt]
         dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
         desc = tags.get(_TAG_DESCRIPTION, "")
         m = re.search(r"images=(\d+)", desc or "")
         offsets0 = tags[_TAG_STRIP_OFFSETS]
+        counts0 = tags.get(_TAG_STRIP_COUNTS,
+                           (H * W * (bits // 8),) * len(offsets0))
         frame_nbytes = H * W * (bits // 8)
 
-        if m and nxt == 0:
+        if m and nxt == 0 and comp == _COMP_NONE and len(offsets0) == 1:
             # ImageJ contiguous stack: frames follow the first strip
             T = int(m.group(1))
-            base = offsets0[0]
             return TiffInfo((T, H, W), dtype,
-                            [base + i * frame_nbytes for i in range(T)],
+                            [offsets0[0] + i * frame_nbytes
+                             for i in range(T)],
                             frame_nbytes, bo, True)
 
-        # classic multi-IFD: walk the chain
-        frame_offsets = [offsets0[0]]
-        strip_ok = len(offsets0) == 1
+        # classic multi-IFD: walk the chain, keeping every strip
+        plans = [FramePlan(tuple(offsets0), tuple(counts0))]
         while nxt:
             tags_i, nxt = _read_ifd(f, nxt, bo, big)
             offs = tags_i[_TAG_STRIP_OFFSETS]
-            strip_ok &= len(offs) == 1
-            frame_offsets.append(offs[0])
-        if not strip_ok:
-            raise ValueError("multi-strip frames not supported")
-        return TiffInfo((len(frame_offsets), H, W), dtype, frame_offsets,
-                        frame_nbytes, bo, False)
+            cnts = tags_i.get(_TAG_STRIP_COUNTS,
+                              (frame_nbytes,) * len(offs))
+            plans.append(FramePlan(tuple(offs), tuple(cnts)))
+        T = len(plans)
+        simple = comp == _COMP_NONE and all(len(p.offsets) == 1
+                                            for p in plans)
+        return TiffInfo(
+            (T, H, W), dtype,
+            [p.offsets[0] for p in plans] if simple else [],
+            frame_nbytes, bo, False, compression=comp, predictor=pred,
+            rows_per_strip=rps,
+            frames=None if simple else plans)
+
+
+def _decode_strip(raw: bytes, comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return raw
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_decode(raw)
+    if comp == _COMP_LZW:
+        return _lzw_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {comp}")
+
+
+def _packbits_decode(raw: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        h = raw[i]
+        i += 1
+        if h < 128:
+            out += raw[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += raw[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, 9->12 bit codes with early
+    change, ClearCode 256, EOI 257)."""
+    CLEAR, EOI = 256, 257
+    data = np.frombuffer(raw, np.uint8)
+    # bit reader state
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset_table():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset_table()
+    bitpos = 0
+    nbits = 9
+    total_bits = len(data) * 8
+    prev: Optional[bytes] = None
+    while bitpos + nbits <= total_bits:
+        byte0 = bitpos >> 3
+        # read up to 3 bytes covering the code
+        chunk = int.from_bytes(raw[byte0:byte0 + 3].ljust(3, b"\0"), "big")
+        shift = 24 - nbits - (bitpos & 7)
+        code = (chunk >> shift) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset_table()
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF early change: the encoder widens when its next free code is
+        # 2^n - 1; the decoder's table lags one insert behind, so widen at
+        # 2^n - 2
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _undo_predictor(frame: np.ndarray, predictor: int) -> np.ndarray:
+    if predictor == 2:
+        # horizontal differencing: integrate along rows in the integer type
+        return np.cumsum(frame, axis=-1, dtype=frame.dtype)
+    return frame
+
+
+def _read_frame_general(f, info: TiffInfo, i: int) -> np.ndarray:
+    T, H, W = info.shape
+    plan = info.frames[i]
+    parts = []
+    for off, cnt in zip(plan.offsets, plan.counts):
+        f.seek(off)
+        parts.append(_decode_strip(f.read(cnt), info.compression))
+    buf = b"".join(parts)[:info.frame_nbytes]
+    frame = np.frombuffer(buf, info.dtype).reshape(H, W)
+    return _undo_predictor(frame, info.predictor)
 
 
 def read_tiff(path: str, start: int = 0, count: Optional[int] = None
@@ -151,17 +282,26 @@ def read_tiff(path: str, start: int = 0, count: Optional[int] = None
             f.seek(info.frame_offsets[start])
             data = f.read(info.frame_nbytes * count)
             out[:] = np.frombuffer(data, info.dtype).reshape(count, H, W)
-        else:
+        elif info.frames is None:
             for i in range(count):
                 f.seek(info.frame_offsets[start + i])
                 out[i] = np.frombuffer(f.read(info.frame_nbytes),
                                        info.dtype).reshape(H, W)
+        else:
+            for i in range(count):
+                out[i] = _read_frame_general(f, info, start + i)
     return out
 
 
-def write_tiff(path: str, movie: np.ndarray) -> None:
-    """Write a (T, H, W) stack as a classic little-endian multi-IFD TIFF
-    (reference: ``utilities/writeTiff.m``). Supports u8/u16/f32."""
+def write_tiff(path: str, movie: np.ndarray,
+               bigtiff: Optional[bool] = None) -> None:
+    """Write a (T, H, W) stack as a little-endian multi-IFD TIFF
+    (reference: ``utilities/writeTiff.m``). Supports u8/u16/f32.
+
+    ``bigtiff``: force the BigTIFF (magic 43, 64-bit offsets) layout; by
+    default it switches on automatically when the file would cross the
+    classic 4 GB offset limit.
+    """
     movie = np.ascontiguousarray(movie)
     T, H, W = movie.shape
     dt = movie.dtype
@@ -171,31 +311,67 @@ def write_tiff(path: str, movie: np.ndarray) -> None:
     bits = dt.itemsize * 8
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     frame_nbytes = H * W * dt.itemsize
+    if bigtiff is None:
+        bigtiff = 16 + T * (8 + 9 * 20 + 8) + T * frame_nbytes >= 2**32 - 16
 
+    if not bigtiff:
+        n_tags = 9
+        ifd_size = 2 + n_tags * 12 + 4
+        with open(path, "wb") as f:
+            f.write(b"II*\x00")
+            f.write(struct.pack("<I", 8))
+            data_base = 8 + T * ifd_size
+
+            def tag(t, typ, cnt, val):
+                return struct.pack("<HHI4s", t, typ, cnt,
+                                   struct.pack("<I", val))
+
+            for i in range(T):
+                entries = [
+                    tag(_TAG_WIDTH, 4, 1, W),
+                    tag(_TAG_HEIGHT, 4, 1, H),
+                    tag(_TAG_BITS, 3, 1, bits),
+                    tag(_TAG_COMPRESSION, 3, 1, 1),
+                    tag(262, 3, 1, 1),  # photometric: BlackIsZero
+                    tag(_TAG_STRIP_OFFSETS, 4, 1,
+                        data_base + i * frame_nbytes),
+                    tag(_TAG_ROWS_PER_STRIP, 4, 1, H),
+                    tag(_TAG_STRIP_COUNTS, 4, 1, frame_nbytes),
+                    tag(_TAG_SAMPLE_FORMAT, 3, 1, fmt),
+                ]
+                nxt = 8 + (i + 1) * ifd_size if i + 1 < T else 0
+                f.write(struct.pack("<H", n_tags) + b"".join(entries)
+                        + struct.pack("<I", nxt))
+            f.write(movie.astype(dt.newbyteorder("<")).tobytes())
+        return
+
+    # ---- BigTIFF: 16-byte header, 64-bit counts/offsets --------------- #
     n_tags = 9
-    ifd_size = 2 + n_tags * 12 + 4
+    ifd_size = 8 + n_tags * 20 + 8
     with open(path, "wb") as f:
-        f.write(b"II*\x00")
-        f.write(struct.pack("<I", 8))
-        data_base = 8 + T * ifd_size
+        f.write(b"II+\x00")                       # magic 43
+        f.write(struct.pack("<HH", 8, 0))          # offset size 8, pad
+        f.write(struct.pack("<Q", 16))             # first IFD at 16
+        data_base = 16 + T * ifd_size
 
-        def tag(t, typ, cnt, val):
-            return struct.pack("<HHI4s", t, typ, cnt,
-                               struct.pack("<I", val))
+        def btag(t, typ, cnt, val):
+            return struct.pack("<HHQ8s", t, typ, cnt,
+                               struct.pack("<Q", val))
 
         for i in range(T):
             entries = [
-                tag(_TAG_WIDTH, 4, 1, W),
-                tag(_TAG_HEIGHT, 4, 1, H),
-                tag(_TAG_BITS, 3, 1, bits),
-                tag(_TAG_COMPRESSION, 3, 1, 1),
-                tag(262, 3, 1, 1),  # photometric: BlackIsZero
-                tag(_TAG_STRIP_OFFSETS, 4, 1, data_base + i * frame_nbytes),
-                tag(_TAG_ROWS_PER_STRIP, 4, 1, H),
-                tag(_TAG_STRIP_COUNTS, 4, 1, frame_nbytes),
-                tag(_TAG_SAMPLE_FORMAT, 3, 1, fmt),
+                btag(_TAG_WIDTH, 4, 1, W),
+                btag(_TAG_HEIGHT, 4, 1, H),
+                btag(_TAG_BITS, 3, 1, bits),
+                btag(_TAG_COMPRESSION, 3, 1, 1),
+                btag(262, 3, 1, 1),
+                btag(_TAG_STRIP_OFFSETS, 16, 1,
+                     data_base + i * frame_nbytes),
+                btag(_TAG_ROWS_PER_STRIP, 4, 1, H),
+                btag(_TAG_STRIP_COUNTS, 16, 1, frame_nbytes),
+                btag(_TAG_SAMPLE_FORMAT, 3, 1, fmt),
             ]
-            nxt = 8 + (i + 1) * ifd_size if i + 1 < T else 0
-            f.write(struct.pack("<H", n_tags) + b"".join(entries)
-                    + struct.pack("<I", nxt))
+            nxt = 16 + (i + 1) * ifd_size if i + 1 < T else 0
+            f.write(struct.pack("<Q", n_tags) + b"".join(entries)
+                    + struct.pack("<Q", nxt))
         f.write(movie.astype(dt.newbyteorder("<")).tobytes())
