@@ -11,8 +11,16 @@ round takes the top-N *non-conflicting* local maxima of the search image
 (greedy non-max suppression at distance gSiz), extracts all N neurons with a
 vmapped ``extract_ac``, deconvolves them as one batch, subtracts all peeled
 components at once, and refreshes Cn/PNR globally (one conv over the movie —
-cheap on TPU, simpler than the reference's local patch refresh). The host
-drives the round loop; each round is a single jitted program.
+cheap on TPU, simpler than the reference's local patch refresh).
+
+The whole round — seed search, extraction, deconvolution, masked acceptance
+into fixed neuron slots, peel, refilter — is ONE jitted program with fully
+static shapes (acceptance uses a cumsum-ranked masked scatter rather than
+host-side boolean slicing), so the host loop costs one dispatch plus one
+small fetch per round and the program compiles exactly once regardless of
+how many neurons each round yields. This matters on the tunneled TPU
+runtime, where each dispatch costs ~29 ms and each new program shape costs
+minutes of Mosaic compilation.
 """
 
 from __future__ import annotations
@@ -244,62 +252,29 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
     import numpy as _np
     n_found = int(_np.asarray(state.active).sum())
     seeds_log = []
-    min_v = min_corr * min_pnr
     window = max(3, gSiz // 2) | 1
+    deconv_cfg = (params.temporal.deconv
+                  if ip.deconv_at_init and params.temporal.deconv.enabled
+                  else None)
+    round_fn = _make_init_round(
+        ip.gSig, ip.center_psf, gSiz, window, ip.seeds_per_round,
+        max(ip.min_pixel, 5), ip.corr_pixel_thr, deconv_cfg, gSiz)
 
     for rnd in range(ip.max_rounds):
-        cn, pnr, v = _search_image(HY, Ysig, searched, min_corr, min_pnr)
-        rows, cols, valid = _local_maxima_topk(
-            v, window, ip.seeds_per_round, min_v, nms_dist=gSiz)
-        valid = valid & _weak_signal_test(HY, rows, cols)
-        if not bool(jnp.any(valid)):
-            break
-
-        res = extract_ac_batch(HY, Y_work, rows, cols, gSiz,
-                               min_pixel=max(ip.min_pixel, 5),
-                               corr_thr=ip.corr_pixel_thr)
-        ok = res.ok & valid
-
-        # deconvolve the round's traces as one batch
-        if ip.deconv_at_init and params.temporal.deconv.enabled:
-            dres = deconvolve(res.c_raw, params.temporal.deconv, sn=res.sn)
-            c_use, s_use, g_use = dres.c, dres.s, dres.g
-        else:
-            c_use = jnp.maximum(res.c_raw, 0.0)
-            s_use = jnp.zeros_like(res.c_raw)
-            g_use = jnp.full((res.c_raw.shape[0], 1), 0.9, jnp.float32)
-
-        # accept into fixed slots
-        n_ok = int(jnp.sum(ok))
-        n_take = min(n_ok, K_max - n_found)
-        if n_take > 0:
-            order = np.nonzero(np.asarray(ok))[0][:n_take]
-            slot = jnp.arange(n_found, n_found + n_take)
-            sel = jnp.asarray(order)
-            A_new, searched = _place_footprints(
-                state.A, searched, res.a[sel], rows[sel], cols[sel], slot,
-                gSiz)
-            state = state.replace(
-                A=A_new,
-                C=state.C.at[slot].set(c_use[sel]),
-                C_raw=state.C_raw.at[slot].set(res.c_raw[sel]),
-                S=state.S.at[slot].set(s_use[sel]),
-                g=state.g.at[slot].set(g_use[sel][:, :state.g.shape[1]]),
-                neuron_sn=state.neuron_sn.at[slot].set(res.sn[sel]),
-                active=state.active.at[slot].set(True))
-            # peel: subtract all accepted components, then refilter
-            Y_work = _peel(Y_work, res.a[sel], c_use[sel],
-                           rows[sel], cols[sel], gSiz)
-            HY = refilter(Y_work, psf)
-            n_found += n_take
-            for i in np.asarray(sel):
-                seeds_log.append((rnd, int(rows[i]), int(cols[i])))
-
-        # mark attempted seeds as searched
-        searched = _mark_searched(searched, rows, cols, valid)
+        state, Y_work, HY, searched, report = round_fn(
+            state, HY, Y_work, Ysig, searched, jnp.int32(n_found),
+            jnp.float32(min_corr), jnp.float32(min_pnr))
+        # ONE small host fetch per round: (N, 4) int32 [row, col, take, valid]
+        rep = _np.asarray(report)
+        taken = _np.nonzero(rep[:, 2])[0]
+        n_take = len(taken)
+        n_valid = int(rep[:, 3].sum())
+        for i in taken:
+            seeds_log.append((rnd, int(rep[i, 0]), int(rep[i, 1])))
+        n_found += n_take
         if verbose:
             print(f"init round {rnd}: +{n_take} neurons (total {n_found})")
-        if n_found >= K_max:
+        if n_valid == 0 or n_found >= K_max:
             break
 
     cn, pnr, _ = _search_image(HY, Ysig, jnp.zeros((H, W), bool),
@@ -307,6 +282,109 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
     info = {"Cn": cn, "PNR": pnr, "seeds": seeds_log, "n_found": n_found,
             "residual_Y": Y_work}
     return state, info
+
+
+@functools.lru_cache(maxsize=None)
+def _make_init_round(gSig: float, center_psf: bool, gSiz: int, window: int,
+                     n_seeds: int, min_pixel: int, corr_thr: float,
+                     deconv, nms_dist: int, trace_mode: str = "corr_mean"):
+    """Build the fused one-round init program (compiled once per config).
+
+    One full greedy-init round as a single jitted program with static
+    shapes: seed search -> extraction -> deconvolution -> masked slot
+    acceptance -> peel -> refilter. ``n_found``/``min_corr``/``min_pnr``
+    are traced scalars so successive rounds (and the residual pick with
+    relaxed thresholds, ``initComponents_residual_parallel.m``) all hit the
+    same compiled program. The psf stays a concrete numpy closure constant
+    (the MXU filter path precomputes band matrices from it).
+
+    The returned function maps (state, HY, Y_work, Ysig, searched, n_found,
+    min_corr, min_pnr) -> (state, Y_work, HY, searched, report) with report
+    an (n_seeds, 4) int32 array [row, col, taken, valid] — the only thing
+    the host loop fetches.
+    """
+    psf = gaussian_psf(gSig, center_psf)
+
+    def round_fn(state: CNMFEState, HY, Y_work, Ysig, searched, n_found,
+                 min_corr, min_pnr):
+        K_max = state.K_max
+        _, _, v = _search_image(HY, Ysig, searched, min_corr, min_pnr)
+        rows, cols, valid = _local_maxima_topk(
+            v, window, n_seeds, min_corr * min_pnr, nms_dist=nms_dist)
+        valid = valid & _weak_signal_test(HY, rows, cols)
+
+        res = extract_ac_batch(HY, Y_work, rows, cols, gSiz,
+                               min_pixel=min_pixel, corr_thr=corr_thr,
+                               trace_mode=trace_mode)
+        ok = res.ok & valid
+
+        # deconvolve the round's traces as one batch
+        if deconv is not None:
+            dres = deconvolve(res.c_raw, deconv, sn=res.sn)
+            c_use, s_use, g_use = dres.c, dres.s, dres.g
+        else:
+            c_use = jnp.maximum(res.c_raw, 0.0)
+            s_use = jnp.zeros_like(res.c_raw)
+            g_use = jnp.full((res.c_raw.shape[0], 1), 0.9, jnp.float32)
+
+        # masked acceptance into fixed slots: rank accepted seeds by index,
+        # assign slots past n_found, drop overflow (slot sentinel = K_max
+        # is out of bounds for every scatter below -> mode="drop")
+        rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        slot = n_found + rank
+        take = ok & (slot < K_max)
+        slots = jnp.where(take, slot, K_max)
+
+        A_new, searched2, full_A = _place_footprints_masked(
+            state.A, searched, res.a, rows, cols, slots, take, gSiz)
+        gp = state.g.shape[1]
+        state = state.replace(
+            A=A_new,
+            C=state.C.at[slots].set(c_use, mode="drop"),
+            C_raw=state.C_raw.at[slots].set(res.c_raw, mode="drop"),
+            S=state.S.at[slots].set(s_use, mode="drop"),
+            g=state.g.at[slots].set(g_use[:, :gp], mode="drop"),
+            neuron_sn=state.neuron_sn.at[slots].set(res.sn, mode="drop"),
+            active=state.active.at[slots].set(True, mode="drop"))
+
+        # peel all accepted components at once, then refilter
+        c_eff = jnp.where(take[:, None], c_use, 0.0)
+        Y_new = Y_work - jnp.einsum("khw,kt->thw", full_A, c_eff)
+        HY_new = jax.lax.cond(jnp.any(take),
+                              lambda: refilter(Y_new, psf),
+                              lambda: HY)
+
+        searched2 = _mark_searched(searched2, rows, cols, valid)
+        report = jnp.stack([rows, cols, take.astype(rows.dtype),
+                            valid.astype(rows.dtype)], axis=1)
+        return state, Y_new, HY_new, searched2, report
+
+    return jax.jit(round_fn)
+
+
+@functools.partial(jax.jit, static_argnames=("gSiz",))
+def _place_footprints_masked(A, searched, a_boxes, rows, cols, slots, take,
+                             gSiz: int):
+    """Scatter (N, B, B) boxes into (K_max, H, W) slots (out-of-range slot
+    indices drop); mark core pixels of TAKEN seeds as searched (a > 0.5 max,
+    reference greedyROI_endoscope.m:375). Also returns the full-FOV
+    footprint images (N, H, W) for the peel."""
+    K_max, H, W = A.shape
+    N = a_boxes.shape[0]
+
+    def body(i, carry):
+        A, searched, full_A = carry
+        pad_img = jnp.zeros((H + 2 * gSiz, W + 2 * gSiz), A.dtype)
+        pad_img = jax.lax.dynamic_update_slice(
+            pad_img, a_boxes[i], (rows[i], cols[i]))
+        img = pad_img[gSiz:gSiz + H, gSiz:gSiz + W]
+        full_A = full_A.at[i].set(img)
+        A = A.at[slots[i]].set(img, mode="drop")
+        core = (img > 0.5 * jnp.max(img)) & take[i]
+        return A, searched | core, full_A
+
+    return jax.lax.fori_loop(
+        0, N, body, (A, searched, jnp.zeros((N, H, W), A.dtype)))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -320,26 +398,6 @@ def _search_image(HY, Ysig, searched, min_corr, min_pnr):
     return cn, pnr, v
 
 
-@functools.partial(jax.jit, static_argnames=("gSiz",))
-def _place_footprints(A, searched, a_boxes, rows, cols, slots, gSiz: int):
-    """Scatter (N, B, B) boxes into (K_max, H, W) slots; mark core pixels
-    (a > 0.5 max, reference greedyROI_endoscope.m:375) as searched."""
-    K_max, H, W = A.shape
-    B = 2 * gSiz + 1
-
-    def body(i, carry):
-        A, searched = carry
-        pad_img = jnp.zeros((H + 2 * gSiz, W + 2 * gSiz), A.dtype)
-        pad_img = jax.lax.dynamic_update_slice(
-            pad_img, a_boxes[i], (rows[i], cols[i]))
-        img = pad_img[gSiz:gSiz + H, gSiz:gSiz + W]
-        A = A.at[slots[i]].set(img)
-        core = img > 0.5 * jnp.max(img)
-        return A, searched | core
-
-    return jax.lax.fori_loop(0, rows.shape[0], body, (A, searched))
-
-
 @jax.jit
 def _mark_searched(searched, rows, cols, valid):
     H, W = searched.shape
@@ -348,23 +406,6 @@ def _mark_searched(searched, rows, cols, valid):
            * jax.nn.one_hot(jnp.where(valid, cols, W), W + 1,
                             dtype=jnp.float32)[:, None, :W])
     return searched | (jnp.sum(hit, axis=0) > 0)
-
-
-@functools.partial(jax.jit, static_argnames=("gSiz",))
-def _peel(Y, a_boxes, c, rows, cols, gSiz: int):
-    """Subtract sum_k a_k c_k (boxes scattered into the FOV) from Y."""
-    T, H, W = Y.shape
-    n = a_boxes.shape[0]
-
-    def body(i, full_A):
-        pad_img = jnp.zeros((H + 2 * gSiz, W + 2 * gSiz), Y.dtype)
-        pad_img = jax.lax.dynamic_update_slice(
-            pad_img, a_boxes[i], (rows[i], cols[i]))
-        return full_A.at[i].set(pad_img[gSiz:gSiz + H, gSiz:gSiz + W])
-
-    full_A = jax.lax.fori_loop(
-        0, n, body, jnp.zeros((n, H, W), Y.dtype))
-    return Y - jnp.einsum("khw,kt->thw", full_A, c)
 
 
 def refilter(Y: jnp.ndarray, psf: np.ndarray) -> jnp.ndarray:
