@@ -1,40 +1,48 @@
-"""Benchmark: one full CNMF-E model-update iteration on a single chip.
+"""Benchmark: HALS-iteration throughput AND the end-to-end pipeline.
 
-Measures the HALS-iteration throughput of the flagship distributed step
-(ring-background subtraction + spatial/temporal HALS + batched OASIS
-deconvolution) on a 256x256 x 2000-frame synthetic movie with 192 neurons —
-the BASELINE.json "Mpixel-frames/s/chip per HALS iter" metric.
+Section 1 (``hals_iter_throughput``, the headline metric tracked across
+rounds) measures one full CNMF-E model-update iteration — ring-background
+subtraction + spatial/temporal HALS + batched OASIS deconvolution — on a
+256x256 x 2000-frame synthetic movie with 192 neurons, the BASELINE.json
+"Mpixel-frames/s/chip per HALS iter" metric.
 
-``vs_baseline`` compares against the only wall-clock evidence in the
-reference repo: the committed 2p demo log runs its FULL pipeline on a
-2000-frame movie in ~10 s (demos/data_2p_source_extraction/LOGS_25-Sep_12_06_40/
-logs.txt). Assuming the typical 256x256 FOV, that is ~13.1 Mpixel-frames/s
-end-to-end; one of our update iterations touches the movie a comparable
-number of times as one reference update round, so the ratio is indicative,
-not exact (the movies themselves are stripped from the snapshot).
+Section 2 (``pipeline_throughput``) runs the COMPLETE ``CNMFE.fit`` —
+greedy init rounds, ring background fits, residual pick, spatial/temporal
+refinement, merges, QC — on a simulated 1p movie of the same size and
+reports end-to-end Mpixel-frames/s plus a per-stage wall-time table
+(stderr). This matches the reference's only wall-clock evidence: the
+committed 2p demo log runs its full pipeline on a 2000-frame movie in
+~10 s (demos/data_2p_source_extraction/LOGS_25-Sep_12_06_40/logs.txt),
+i.e. ~13.1 Mpixel-frames/s for a typical 256x256 FOV.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` for each metric is the ratio against that 13.1 Mpf/s
+estimate. Prints ONE JSON line on stdout:
+  {"metric", "value", "unit", "vs_baseline", "pipeline_throughput",
+   "pipeline_seconds", "pipeline_vs_baseline", "pipeline_neurons"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    from cnmf_e_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+def force(x):
+    """block_until_ready does not reliably block on the axon platform;
+    a scalar fetch does."""
     import jax
     import jax.numpy as jnp
-    from cnmf_e_tpu.ops.ring import ring_offsets, fit_ring_weights
+    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
+    return float(jnp.sum(jnp.abs(leaves[0]).astype(jnp.float32)))
+
+
+def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=5):
+    import jax.numpy as jnp
+    from cnmf_e_tpu.ops.ring import ring_offsets
     from cnmf_e_tpu.parallel.step import (
         StepState, make_bg_projection, make_hals_iteration)
 
-    H = W = 256
-    T = 2000
-    K = 192
-    radius = 13
     R = ring_offsets(radius).shape[0]
     rng = np.random.default_rng(0)
 
@@ -58,20 +66,14 @@ def main():
         ring_w0=jnp.zeros((H * W,), jnp.float32),
     )
 
-    n_iter = 5
     proj = make_bg_projection(None, H, W, T, radius=radius)
     iterate = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
                                   chain=n_iter)
 
-    def force(x):
-        # block_until_ready does not reliably block on the axon platform;
-        # a scalar fetch does
-        return float(jnp.sum(x.C))
-
     # warmup/compile
     Pm = proj(Y, st)
     out = iterate(Pm, st)
-    force(out)
+    force(out.C)
 
     # time one background projection + a block of n_iter HALS iterations
     # fused into ONE program (one dispatch), with ONE final sync. The
@@ -82,16 +84,64 @@ def main():
     t0 = time.perf_counter()
     Pm = proj(Y, st)
     out = iterate(Pm, out)
-    force(out)
+    force(out.C)
     dt = (time.perf_counter() - t0) / n_iter
-    pixel_frames = H * W * T
-    value = pixel_frames / dt / 1e6          # Mpixel-frames/s/chip
+    return H * W * T / dt / 1e6          # Mpixel-frames/s/chip
+
+
+def bench_pipeline(H=256, W=256, T=2000, K_true=120):
+    """End-to-end ``CNMFE.fit`` on a simulated 1p movie; returns
+    (Mpf/s, seconds, n_neurons) of a post-warmup run with per-stage
+    timing printed to stderr."""
+    import dataclasses
+    import jax.numpy as jnp
+    from cnmf_e_tpu.config import CNMFEParams
+    from cnmf_e_tpu.models.pipeline import CNMFE
+    from cnmf_e_tpu.utils.profiling import StageTimer
+    from cnmf_e_tpu.utils.simulate import simulate_movie
+
+    gt = simulate_movie(seed=7, H=H, W=W, T=T, K=K_true, gSig=3.0,
+                        sn=0.1, bg_strength=1.0, min_dist=9.0,
+                        spike_rate=0.02)
+    params = CNMFEParams.preset_1p()
+    params = params.replace(init=dataclasses.replace(
+        params.init, max_neurons=192, seeds_per_round=32, max_rounds=10))
+    Y = jnp.asarray(gt.Y)
+
+    # warmup: compile every stage program (persistent compilation cache
+    # makes this cheap on reruns)
+    t0 = time.perf_counter()
+    CNMFE(params).fit(Y, verbose=False)
+    warm_s = time.perf_counter() - t0
+
+    timer = StageTimer()
+    model = CNMFE(params)
+    t0 = time.perf_counter()
+    state = model.fit(Y, verbose=False, timer=timer)
+    dt = time.perf_counter() - t0
+    n = int(np.asarray(state.active).sum())
+    print(f"pipeline warmup (incl. compile): {warm_s:.1f}s; "
+          f"timed run: {dt:.2f}s, {n} neurons", file=sys.stderr)
+    print(timer.report(), file=sys.stderr)
+    return H * W * T / dt / 1e6, dt, n
+
+
+def main():
+    from cnmf_e_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    hals = bench_hals()
+    pipe, pipe_s, n = bench_pipeline()
     baseline = 256 * 256 * 2000 / 10.0 / 1e6  # reference 2p demo estimate
     print(json.dumps({
         "metric": "hals_iter_throughput",
-        "value": round(value, 2),
+        "value": round(hals, 2),
         "unit": "Mpixel-frames/s/chip",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(hals / baseline, 2),
+        "pipeline_throughput": round(pipe, 2),
+        "pipeline_seconds": round(pipe_s, 2),
+        "pipeline_vs_baseline": round(pipe / baseline, 2),
+        "pipeline_neurons": n,
     }))
 
 

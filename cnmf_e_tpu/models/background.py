@@ -7,8 +7,10 @@ stencil and Gram matmuls partition over the mesh automatically).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from cnmf_e_tpu.config import CNMFEParams
@@ -17,6 +19,7 @@ from cnmf_e_tpu.ops.lowrank import fit_lowrank_model
 from cnmf_e_tpu.ops.ring import (fit_ring_model, reconstruct_ring_background)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def update_background(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
                       sn_pix: Optional[jnp.ndarray] = None) -> CNMFEState:
     """Refit the background model given current (A, C). Y: (T, H, W)."""
@@ -34,6 +37,7 @@ def update_background(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
     return state.replace(b=b, f=f, b0=b0)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def background_of(Y: jnp.ndarray, state: CNMFEState,
                   params: CNMFEParams) -> jnp.ndarray:
     """Evaluate the current background estimate B (T, H, W)."""
@@ -49,8 +53,18 @@ def background_of(Y: jnp.ndarray, state: CNMFEState,
     return jnp.einsum("rhw,rt->thw", state.b, state.f) + state.b0[None]
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def subtract_background(Y: jnp.ndarray, state: CNMFEState,
                         params: CNMFEParams) -> jnp.ndarray:
     """Ysignal = Y - B, the input to the spatial/temporal factor updates
     (reference: inline bg reconstruction in ``update_spatial_parallel.m:157-188``)."""
     return Y - background_of(Y, state, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def residual_movie(Y: jnp.ndarray, state: CNMFEState,
+                   params: CNMFEParams) -> jnp.ndarray:
+    """Y - B - A C in one program: the input to the residual neuron pick
+    (reference: ``initComponents_residual_parallel.m:189-199``)."""
+    return (subtract_background(Y, state, params)
+            - jnp.einsum("khw,kt->thw", state.masked_A(), state.masked_C()))

@@ -5,43 +5,32 @@ Reference family (``@Sources2D/merge_neurons_dist_corr.m``,
 pairwise statistics, cluster with connected components (the C++ MEX), refit
 each cluster with a rank-1 alternating LS, re-deconvolve the merged trace.
 
-Here: pairwise stats are computed on device (K x K matmuls), the tiny graph
-clustering runs host-side through the C++ union-find, and cluster refits are
-small dense LS solved host-side in numpy (clusters are 2-5 neurons).
+TPU structure: ONE jitted program computes every pairwise statistic (K x K
+matmuls on the MXU) and the host fetches only those tiny matrices; the graph
+clustering runs host-side through the C++ union-find; then ONE jitted
+program applies ALL cluster refits simultaneously (clusters encoded as a
+fixed-capacity membership matrix, the alternating rank-1 LS batched over
+clusters as masked matmuls); re-deconvolution reuses the standalone
+``deconvolve`` program on the full (K_max, T) trace block. Footprints never
+round-trip through the host and no program shape depends on how many
+clusters merged — on the tunneled TPU runtime each distinct shape costs
+minutes of compilation and each dispatch ~29 ms.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cnmf_e_tpu.config import CNMFEParams
 from cnmf_e_tpu.models.state import CNMFEState
 from cnmf_e_tpu.native import connected_components
+from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import deconvolve
-
-
-def _centers(A: np.ndarray) -> np.ndarray:
-    """Centers of mass (K, 2) of footprints (K, H, W)."""
-    K, H, W = A.shape
-    yy, xx = np.mgrid[0:H, 0:W]
-    mass = A.sum(axis=(1, 2)) + 1e-12
-    cy = (A * yy).sum(axis=(1, 2)) / mass
-    cx = (A * xx).sum(axis=(1, 2)) / mass
-    return np.stack([cy, cx], axis=1)
-
-
-def _corr_rows(X: np.ndarray) -> np.ndarray:
-    Xc = X - X.mean(axis=1, keepdims=True)
-    n = np.linalg.norm(Xc, axis=1) + 1e-12
-    return (Xc @ Xc.T) / np.outer(n, n)
-
-
-def _cosine_rows(X: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(X, axis=1) + 1e-12
-    return (X @ X.T) / np.outer(n, n)
 
 
 def decay_times(state: CNMFEState) -> np.ndarray:
@@ -58,18 +47,54 @@ def decay_times(state: CNMFEState) -> np.ndarray:
     return -1.0 / np.log(d)
 
 
-def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams
-                               ) -> np.ndarray:
+@jax.jit
+def _merge_stats(state: CNMFEState):
+    """All pairwise merge statistics in one program: center distance,
+    corr(C), cosine(A), corr(C_raw), corr(S or thresholded diff C_raw).
+    Returns five (K, K) float32 arrays — the only device->host traffic a
+    merge pass needs."""
+    K = state.K_max
+    A3 = state.masked_A()
+    H, W = A3.shape[1:]
+    mass = jnp.sum(A3, axis=(1, 2)) + 1e-12
+    cy = jnp.sum(A3 * jnp.arange(H, dtype=A3.dtype)[None, :, None],
+                 axis=(1, 2)) / mass
+    cx = jnp.sum(A3 * jnp.arange(W, dtype=A3.dtype)[None, None, :],
+                 axis=(1, 2)) / mass
+    dy = cy[:, None] - cy[None, :]
+    dx = cx[:, None] - cx[None, :]
+    dist = jnp.sqrt(dy * dy + dx * dx)
+
+    def corr_rows(X):
+        Xc = X - jnp.mean(X, axis=1, keepdims=True)
+        n = jnp.linalg.norm(Xc, axis=1) + 1e-12
+        return (Xc @ Xc.T) / jnp.outer(n, n)
+
+    A = A3.reshape(K, -1)
+    na = jnp.linalg.norm(A, axis=1) + 1e-12
+    cos_A = (A @ A.T) / jnp.outer(na, na)
+
+    corr_C = corr_rows(state.C)
+    corr_Craw = corr_rows(state.C_raw)
+    # S from thresholded diff of C_raw when spikes absent
+    Sdiff = jnp.maximum(jnp.diff(state.C_raw, axis=1,
+                                 prepend=jnp.zeros((K, 1))), 0.0)
+    corr_S = jax.lax.cond(jnp.any(state.S != 0),
+                          lambda: corr_rows(state.S),
+                          lambda: corr_rows(Sdiff))
+    return dist, corr_C, cos_A, corr_Craw, corr_S
+
+
+def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams,
+                               stats=None) -> np.ndarray:
     """Adjacency for distance+correlation merging
     (``merge_neurons_dist_corr.m:54-82``), with the optional decay-time
     gate (``:74-81``: skip pairs whose decay constants differ by more than
     ``max_decay_diff`` frames)."""
+    dist, corr_C, _, _, _ = stats or _merge_stats(state)
+    dist = np.asarray(dist)
+    cc = np.asarray(corr_C)
     active = np.asarray(state.active)
-    A = np.asarray(state.masked_A())
-    C = np.asarray(state.C)
-    ctr = _centers(A)
-    dist = np.linalg.norm(ctr[:, None] - ctr[None], axis=-1)
-    cc = _corr_rows(C)
     adj = (dist <= params.merge.dmin) & (cc >= params.merge.merge_thr)
     if params.merge.max_decay_diff is not None:
         tau = decay_times(state)
@@ -80,40 +105,34 @@ def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams
     return adj
 
 
-def merge_candidates_high_corr(state: CNMFEState, params: CNMFEParams
-                               ) -> np.ndarray:
+def merge_candidates_high_corr(state: CNMFEState, params: CNMFEParams,
+                               stats=None) -> np.ndarray:
     """Adjacency for the (A overlap, C corr, S corr) triple threshold
     (``merge_high_corr.m:50-83`` / ``quickMerge.m:34-60``)."""
     a_thr, c_thr, s_thr = params.merge.merge_thr_spatial
+    _, _, cos_A, corr_Craw, corr_S = stats or _merge_stats(state)
     active = np.asarray(state.active)
     K = len(active)
-    A = np.asarray(state.masked_A()).reshape(K, -1)
-    C_raw = np.asarray(state.C_raw)
-    S = np.asarray(state.S)
     adj = np.ones((K, K), bool)
     if a_thr > 0:
-        adj &= _cosine_rows(A) >= a_thr
+        adj &= np.asarray(cos_A) >= a_thr
     if c_thr > 0:
-        adj &= _corr_rows(C_raw) >= c_thr
+        adj &= np.asarray(corr_Craw) >= c_thr
     if s_thr > 0:
-        # S from thresholded diff of C_raw when spikes absent
-        Suse = S if S.any() else np.maximum(np.diff(C_raw, axis=1,
-                                                    prepend=0.0), 0.0)
-        adj &= _corr_rows(Suse) >= s_thr
+        adj &= np.asarray(corr_S) >= s_thr
     adj &= np.outer(active, active)
     np.fill_diagonal(adj, False)
     return adj
 
 
-def merge_candidates_dist_only(state: CNMFEState, params: CNMFEParams
-                               ) -> np.ndarray:
+def merge_candidates_dist_only(state: CNMFEState, params: CNMFEParams,
+                               stats=None) -> np.ndarray:
     """Distance-only adjacency (reference ``merge_close_neighbors.m`` /
     ``MergeNeighbors.m`` with dmin_only): any two active neurons whose
     centers are within ``dmin_only`` merge unconditionally."""
+    dist, _, _, _, _ = stats or _merge_stats(state)
     active = np.asarray(state.active)
-    ctr = _centers(np.asarray(state.masked_A()))
-    dist = np.linalg.norm(ctr[:, None] - ctr[None], axis=-1)
-    adj = dist <= params.merge.dmin_only
+    adj = np.asarray(dist) <= params.merge.dmin_only
     adj &= np.outer(active, active)
     np.fill_diagonal(adj, False)
     return adj
@@ -139,13 +158,78 @@ def merge_neurons(state: CNMFEState, params: CNMFEParams,
     the slot of the cluster's highest-energy member; other members
     deactivate (fixed-capacity slot semantics).
     """
+    stats = _merge_stats(state)
     if mode == "dist_corr":
-        adj = merge_candidates_dist_corr(state, params)
+        adj = merge_candidates_dist_corr(state, params, stats)
     elif mode == "dist_only":
-        adj = merge_candidates_dist_only(state, params)
+        adj = merge_candidates_dist_only(state, params, stats)
     else:
-        adj = merge_candidates_high_corr(state, params)
+        adj = merge_candidates_high_corr(state, params, stats)
     return _merge_with_adjacency(state, params, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("refit_iters",))
+def _merge_apply(state: CNMFEState, members: jnp.ndarray, keep: jnp.ndarray,
+                 valid: jnp.ndarray, refit_iters: int):
+    """Apply all cluster merges in one program.
+
+    members: (Kc, K) float32 membership matrix (1 where neuron k belongs to
+    cluster j); keep: (Kc,) int32 surviving slot per cluster; valid: (Kc,)
+    bool. Invalid clusters scatter to the out-of-bounds sentinel slot K and
+    drop. The rank-1 refit (``merge_neurons_dist_corr.m:180-187``, 10
+    alternating LS steps) runs batched over clusters as masked matmuls.
+
+    Returns (state, merged_mask (K,) bool marking slots holding a freshly
+    merged trace that still needs re-deconvolution)."""
+    K = state.K_max
+    A = state.A.reshape(K, -1)                       # (K, d)
+    C_raw = state.C_raw                              # (K, T)
+
+    a = members @ A                                  # (Kc, d) union support
+    c = C_raw[jnp.clip(keep, 0, K - 1)]              # (Kc, T)
+
+    def body(_, ac):
+        a, c = ac
+        # a_j = relu( sum_k m_jk (C_raw_k . c_j) A_k ) / (c_j . c_j)
+        Wm = members * (C_raw @ c.T).T               # (Kc, K)
+        a = jnp.maximum(Wm @ A, 0.0) / \
+            jnp.maximum(jnp.sum(c * c, axis=1, keepdims=True), 1e-12)
+        # c_j = relu( sum_k m_jk (A_k . a_j) C_raw_k ) / (a_j . a_j)
+        Vm = members * (A @ a.T).T                   # (Kc, K)
+        c = jnp.maximum(Vm @ C_raw, 0.0) / \
+            jnp.maximum(jnp.sum(a * a, axis=1, keepdims=True), 1e-12)
+        return a, c
+
+    a, c = jax.lax.fori_loop(0, refit_iters, body, (a, c))
+
+    keep_slot = jnp.where(valid, keep, K)            # sentinel -> dropped
+    vm = valid.astype(members.dtype)
+    member_of_valid = (vm @ members) > 0             # (K,)
+    active = state.active & ~member_of_valid
+    active = active.at[keep_slot].set(True, mode="drop")
+    merged_mask = jnp.zeros((K,), bool).at[keep_slot].set(True, mode="drop")
+
+    zero = ~member_of_valid[:, None]
+    A_new = jnp.where(zero, A, 0.0).at[keep_slot].set(a, mode="drop")
+    C_raw_new = jnp.where(zero, C_raw, 0.0).at[keep_slot].set(c, mode="drop")
+    C_new = jnp.where(zero, state.C, 0.0).at[keep_slot].set(c, mode="drop")
+    # S of deactivated members zeros; the keep slot keeps its stale spikes
+    # until the re-deconvolution pass overwrites them
+    S_new = state.S * active[:, None]
+    state = state.replace(
+        A=A_new.reshape(state.A.shape), C=C_new, C_raw=C_raw_new, S=S_new,
+        active=active)
+    return state, merged_mask
+
+
+@jax.jit
+def _deconv_writeback(state: CNMFEState, merged_mask, c, s, b, g):
+    m = merged_mask[:, None]
+    return state.replace(
+        C=jnp.where(m, c, state.C),
+        C_raw=jnp.where(m, state.C_raw - b[:, None], state.C_raw),
+        S=jnp.where(m, s, state.S),
+        g=jnp.where(m, g[:, :state.g.shape[1]], state.g))
 
 
 def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
@@ -154,15 +238,17 @@ def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
         return state, 0
 
     labels, ncomp = connected_components(adj)
-    active = np.array(state.active)      # mutable host copies
-    A = np.array(state.A)
-    C = np.array(state.C)
-    C_raw = np.array(state.C_raw)
-    K, H, W = A.shape
-    T = C.shape[1]
+    active = np.asarray(state.active)
+    # energy ranking for the surviving slot needs per-neuron norms; derive
+    # them from the adjacency-stage stats-free arrays already on host? No:
+    # one tiny fetch of per-neuron energies
+    energy = np.asarray(_neuron_energy(state))
 
-    merged_traces = []
-    merged_slots = []
+    K = state.K_max
+    Kc = max(K // 2, 1)
+    members = np.zeros((Kc, K), np.float32)
+    keep = np.zeros((Kc,), np.int32)
+    valid = np.zeros((Kc,), bool)
     n_merged = 0
     for comp in range(ncomp):
         ids = np.nonzero((labels == comp) & active)[0]
@@ -172,53 +258,32 @@ def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
         # cover all nodes); require at least one edge inside
         if not adj[np.ix_(ids, ids)].any():
             continue
+        members[n_merged, ids] = 1.0
+        keep[n_merged] = ids[int(np.argmax(energy[ids]))]
+        valid[n_merged] = True
         n_merged += 1
-        # rank-1 refit of sum_i a_i c_raw_i on the union support
-        # (merge_neurons_dist_corr.m:180-187, 10 alternating LS steps)
-        A_cl = A[ids].reshape(len(ids), -1)           # (m, d)
-        C_cl = C_raw[ids]                             # (m, T)
-        energy = (A_cl**2).sum(axis=1) * (C_cl**2).sum(axis=1)
-        keep = ids[int(np.argmax(energy))]
-        a = A_cl.sum(axis=0)
-        c = C_cl[int(np.argmax(energy))].copy()
-        # X @ c / c.c etc. without materializing X = A_cl^T C_cl (d x T):
-        for _ in range(params.merge.refit_iters):
-            # a = X c^T / (c c^T),  X = A_cl^T @ C_cl
-            Cc = C_cl @ c                             # (m,)
-            a = np.maximum(A_cl.T @ Cc / max(c @ c, 1e-12), 0.0)
-            Ca = A_cl @ a                             # (m,)
-            c = np.maximum(Ca @ C_cl / max(a @ a, 1e-12), 0.0)
-        A[keep] = a.reshape(H, W)
-        C_raw[keep] = c
-        merged_traces.append(c)
-        merged_slots.append(keep)
-        for i in ids:
-            if i != keep:
-                active[i] = False
-                A[i] = 0.0
-                C[i] = 0.0
-                C_raw[i] = 0.0
 
     if n_merged == 0:
         return state, 0
 
-    state = state.replace(
-        A=jnp.asarray(A), C=jnp.asarray(C), C_raw=jnp.asarray(C_raw),
-        active=jnp.asarray(active),
-        S=state.S * jnp.asarray(active)[:, None])
+    state, merged_mask = _merge_apply(
+        state, jnp.asarray(members), jnp.asarray(keep), jnp.asarray(valid),
+        refit_iters=params.merge.refit_iters)
 
-    # re-deconvolve the merged traces as one batch
-    if params.temporal.deconv.enabled and merged_slots:
-        slots = jnp.asarray(np.array(merged_slots))
-        traces = jnp.asarray(np.stack(merged_traces)).astype(state.C.dtype)
-        res = deconvolve(traces, params.temporal.deconv)
-        state = state.replace(
-            C=state.C.at[slots].set(res.c),
-            C_raw=state.C_raw.at[slots].set(traces - res.b[:, None]),
-            S=state.S.at[slots].set(res.s),
-            g=state.g.at[slots].set(res.g[:, :state.g.shape[1]]))
-    else:
-        slots = jnp.asarray(np.array(merged_slots))
-        traces = jnp.asarray(np.stack(merged_traces)).astype(state.C.dtype)
-        state = state.replace(C=state.C.at[slots].set(traces))
+    # re-deconvolve: run the standard (K_max, T) deconvolution program (the
+    # same compiled program the temporal update uses) and write back only
+    # the merged slots
+    if params.temporal.deconv.enabled:
+        sn = noise_psd(state.C_raw)
+        res = deconvolve(state.C_raw, params.temporal.deconv, sn=sn)
+        state = _deconv_writeback(state, merged_mask, res.c, res.s, res.b,
+                                  res.g)
     return state, n_merged
+
+
+@jax.jit
+def _neuron_energy(state: CNMFEState) -> jnp.ndarray:
+    """||a_k||^2 ||c_raw_k||^2 per neuron — the cluster-survivor ranking."""
+    a2 = jnp.sum(state.A * state.A, axis=(1, 2))
+    c2 = jnp.sum(state.C_raw * state.C_raw, axis=1)
+    return a2 * c2

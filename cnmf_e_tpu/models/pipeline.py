@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cnmf_e_tpu.config import CNMFEParams
-from cnmf_e_tpu.models.background import (background_of, subtract_background,
+from cnmf_e_tpu.models.background import (background_of, residual_movie,
+                                          subtract_background,
                                           update_background)
 from cnmf_e_tpu.models.dff import extract_dff
 from cnmf_e_tpu.models.initialize import initialize_greedy
@@ -50,7 +51,8 @@ class CNMFE:
 
     # ------------------------------------------------------------------ #
     def fit(self, Y, n_outer: int = 2, verbose: bool = False,
-            run_log=None, resume_from: Optional[str] = None) -> CNMFEState:
+            run_log=None, resume_from: Optional[str] = None,
+            timer=None) -> CNMFEState:
         """Run the full pipeline on an in-memory movie Y (T, H, W).
 
         ``run_log``: optional :class:`cnmf_e_tpu.checkpoint.RunLog` —
@@ -59,8 +61,17 @@ class CNMFE:
         ``resume_from``: path to a previous snapshot .npz — skips
         initialization and restores A/C/S/background from it (the
         reference's resume-from-previous-run flow, made non-interactive).
+        ``timer``: optional :class:`cnmf_e_tpu.utils.profiling.StageTimer`
+        — accumulates per-stage wall time with forced device completion
+        (the bench's stage table).
         """
+        import contextlib
         p = self.params
+
+        def _st(name, ref=None):
+            if timer is None:
+                return contextlib.nullcontext()
+            return timer.stage(name, ref)
         # NaN scrubbing at the boundary (greedyROI_endoscope.m:100)
         Y = jnp.nan_to_num(jnp.asarray(Y, jnp.float32))
         _print = self._log(verbose)
@@ -72,7 +83,10 @@ class CNMFE:
             log = _print
         t0 = time.time()
 
-        sn_pix = self.estimate_pixel_noise(Y)
+        ref = []
+        with _st("noise", ref):
+            sn_pix = self.estimate_pixel_noise(Y)
+            ref.append(sn_pix)
         log(f"pixel noise estimated ({time.time() - t0:.1f}s)")
 
         if resume_from is not None:
@@ -83,70 +97,111 @@ class CNMFE:
                 f"{resume_from}")
         else:
             # --- initialization ---------------------------------------- #
-            state, info = initialize_greedy(Y, p, verbose=verbose)
+            ref = []
+            with _st("init", ref):
+                state, info = initialize_greedy(Y, p, verbose=verbose)
+                ref.append(state)
             self.info.update(Cn=info["Cn"], PNR=info["PNR"])
             log(f"init: {int(state.n_active())} neurons "
                 f"({time.time() - t0:.1f}s)")
 
-            state, nm = merge_neurons(state, p, "dist_corr")
+            ref = []
+            with _st("merge", ref):
+                state, nm = merge_neurons(state, p, "dist_corr")
+                ref.append(state)
             log(f"merge(dist_corr): {nm} clusters")
             if run_log is not None:
                 run_log.snapshot("init", state)
 
             # --- background -------------------------------------------- #
-            state = update_background(Y, state, p, sn_pix=sn_pix)
+            ref = []
+            with _st("background", ref):
+                state = update_background(Y, state, p, sn_pix=sn_pix)
+                ref.append(state)
             log(f"background update ({time.time() - t0:.1f}s)")
 
             # --- residual pick ----------------------------------------- #
-            state = compact(state)
-            resid = (subtract_background(Y, state, p)
-                     - jnp.einsum("khw,kt->thw", state.masked_A(),
-                                  state.masked_C()))
-            state, _ = initialize_greedy(
-                resid, p, state=state, min_corr=p.init.min_corr_res,
-                min_pnr=p.init.min_pnr_res, verbose=verbose)
+            ref = []
+            with _st("residual_pick", ref):
+                state = compact(state)
+                resid = residual_movie(Y, state, p)
+                state, _ = initialize_greedy(
+                    resid, p, state=state, min_corr=p.init.min_corr_res,
+                    min_pnr=p.init.min_pnr_res, verbose=verbose)
+                ref.append(state)
             log(f"residual pick: total {int(state.n_active())} neurons "
                 f"({time.time() - t0:.1f}s)")
 
         # --- refinement (demo_large_data_1p.m order) -------------------- #
         # spatial first so residual duplicates refit onto the data, then
         # temporal + merge passes fold them into their originals
-        Ysig = subtract_background(Y, state, p)
-        state = update_spatial(Ysig, state, p)
-        state, nm = merge_neurons(state, p, "high_corr")
+        ref = []
+        with _st("spatial", ref):
+            Ysig = subtract_background(Y, state, p)
+            state = update_spatial(Ysig, state, p)
+            ref.append(state)
+        with _st("merge"):
+            state, nm = merge_neurons(state, p, "high_corr")
         log(f"spatial + merge(high_corr: {nm}) ({time.time() - t0:.1f}s)")
 
         for it in range(max(n_outer, 1)):
-            state = update_temporal(Ysig, state, p)
-            state = remove_false_positives(state, p)
-            state, nm = merge_neurons(state, p, "dist_corr")
+            ref = []
+            with _st("temporal", ref):
+                state = update_temporal(Ysig, state, p)
+                ref.append(state)
+            with _st("qc"):
+                state = remove_false_positives(state, p)
+            with _st("merge"):
+                state, nm = merge_neurons(state, p, "dist_corr")
             # spatial refit inside the loop: the reference demo interleaves
             # spatial with temporal every pass (demo_large_data_1p.m:199-213,
             # holding B fixed between background refreshes as here)
-            state = update_spatial(Ysig, state, p)
+            ref = []
+            with _st("spatial", ref):
+                state = update_spatial(Ysig, state, p)
+                ref.append(state)
             log(f"iter {it}: temporal + QC + merge({nm}) + spatial, "
                 f"{int(state.n_active())} neurons ({time.time() - t0:.1f}s)")
 
         # fold co-located duplicates (ghosts from the residual pick) into
         # their originals (reference: merge_close_neighbors with dmin_only)
-        state, nm = merge_neurons(state, p, "dist_only")
+        with _st("merge"):
+            state, nm = merge_neurons(state, p, "dist_only")
         log(f"merge(dist_only): {nm} clusters")
 
         # final full pass on a refreshed background
-        state = update_background(Y, state, p, sn_pix=sn_pix)
-        Ysig = subtract_background(Y, state, p)
-        state = update_spatial(Ysig, state, p)
-        state = update_temporal(Ysig, state, p)
-        k_before = int(state.n_active())
-        state = remove_false_positives(state, p)
-        state, _ = merge_neurons(state, p, "dist_corr")
-        state, _ = merge_neurons(state, p, "high_corr")
-        log(f"final pass ({time.time() - t0:.1f}s)")
-        if int(state.n_active()) != k_before:
+        ref = []
+        with _st("background", ref):
+            state = update_background(Y, state, p, sn_pix=sn_pix)
+            ref.append(state)
+        ref = []
+        with _st("spatial", ref):
             Ysig = subtract_background(Y, state, p)
             state = update_spatial(Ysig, state, p)
+            ref.append(state)
+        ref = []
+        with _st("temporal", ref):
             state = update_temporal(Ysig, state, p)
+            ref.append(state)
+        k_before = int(state.n_active())
+        with _st("qc"):
             state = remove_false_positives(state, p)
+        with _st("merge"):
+            state, _ = merge_neurons(state, p, "dist_corr")
+            state, _ = merge_neurons(state, p, "high_corr")
+        log(f"final pass ({time.time() - t0:.1f}s)")
+        if int(state.n_active()) != k_before:
+            ref = []
+            with _st("spatial", ref):
+                Ysig = subtract_background(Y, state, p)
+                state = update_spatial(Ysig, state, p)
+                ref.append(state)
+            ref = []
+            with _st("temporal", ref):
+                state = update_temporal(Ysig, state, p)
+                ref.append(state)
+            with _st("qc"):
+                state = remove_false_positives(state, p)
         state = tag_neurons(state, p)
         state = compact(state)
         log(f"done: {int(state.n_active())} neurons "

@@ -7,6 +7,9 @@ PNR) and ``remove_false_positives`` (``Sources2D.m:744-759``).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from cnmf_e_tpu.config import CNMFEParams
@@ -19,6 +22,7 @@ TAG_ZERO_RESIDUAL = 4
 TAG_LOW_PNR = 8
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def tag_neurons(state: CNMFEState, params: CNMFEParams) -> CNMFEState:
     qc = params.qc
     npix = jnp.sum(state.A > 0, axis=(1, 2))
@@ -51,18 +55,29 @@ def remove_false_positives(state: CNMFEState, params: CNMFEParams,
     ``classify_components`` criterion (``classify_components.m:31-38``)
     wired into the QC pass.
     """
+    if active_pixels is None or params.qc.classify_cl_thr <= 0:
+        return _rfp_tags_only(state, params)
+    import numpy as np
+    from cnmf_e_tpu.models.pairing import classify_components
     state = tag_neurons(state, params)
     bad = (state.tags != 0) & state.active
-    if active_pixels is not None and params.qc.classify_cl_thr > 0:
-        import numpy as np
-        from cnmf_e_tpu.models.pairing import classify_components
-        K = state.K_max
-        keep_cl = classify_components(
-            np.asarray(state.A).reshape(K, -1).T,
-            np.asarray(active_pixels).reshape(-1),
-            cl_thr=params.qc.classify_cl_thr)
-        bad = bad | (jnp.asarray(~keep_cl) & state.active)
-    keep = state.active & ~bad
+    K = state.K_max
+    keep_cl = classify_components(
+        np.asarray(state.A).reshape(K, -1).T,
+        np.asarray(active_pixels).reshape(-1),
+        cl_thr=params.qc.classify_cl_thr)
+    bad = bad | (jnp.asarray(~keep_cl) & state.active)
+    return _apply_keep(state, state.active & ~bad)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _rfp_tags_only(state: CNMFEState, params: CNMFEParams) -> CNMFEState:
+    state = tag_neurons(state, params)
+    keep = state.active & ~((state.tags != 0) & state.active)
+    return _apply_keep(state, keep)
+
+
+def _apply_keep(state: CNMFEState, keep: jnp.ndarray) -> CNMFEState:
     return state.replace(
         active=keep,
         A=state.A * keep[:, None, None],

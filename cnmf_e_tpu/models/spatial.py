@@ -9,6 +9,9 @@ then stitching and post-processing. Here: one masked solve over the full
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from cnmf_e_tpu.config import CNMFEParams
@@ -21,6 +24,7 @@ from cnmf_e_tpu.ops.morphology import (connectivity_constraint,
 from cnmf_e_tpu.ops.nnls import nnls_pixels
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
                    params: CNMFEParams) -> CNMFEState:
     """Update footprints given traces. Ysignal: (T, H, W) = Y - B."""

@@ -10,6 +10,8 @@ OASIS kernel.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,7 @@ from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import deconvolve
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def update_temporal(Ysignal: jnp.ndarray, state: CNMFEState,
                     params: CNMFEParams) -> CNMFEState:
     """Update traces given footprints. Ysignal: (T, H, W) = Y - B."""
