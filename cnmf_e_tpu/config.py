@@ -99,7 +99,7 @@ class BackgroundParams:
     """Background model options (reference ring model: ``fit_ring_model.m``;
     low-rank: ``fit_svd_model.m`` / ``fit_nmf_model.m``)."""
 
-    model: str = "ring"  # {"ring", "svd", "nmf"}
+    model: str = "ring"  # {"ring", "svd", "nmf", "local"}
     # ring radius in pixels (reference default: gSiz + 1)
     ring_radius: int = 14
     # spatial downsampling for the ring graph (reference: bg_ssub)

@@ -33,6 +33,16 @@ def update_background(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
             frame_cap_factor=bp.frame_cap_factor, ridge_eps=bp.ridge_eps,
             ssub=bp.ssub)
         return state.replace(W=weights, b0=b0)
+    if bp.model == "local":
+        # event-masked ring regression on the raw movie — no (A, C)
+        # needed (reference: endoscope/local_background.m via updateBG;
+        # used by the in-memory demo_endoscope path before a neuron
+        # model exists)
+        from cnmf_e_tpu.ops.ring import local_background
+        _, weights, b0 = local_background(
+            Y, radius=bp.ring_radius, sn=sn_pix, ssub=bp.ssub,
+            ridge_eps=bp.ridge_eps)
+        return state.replace(W=weights, b0=b0)
     b, f, b0 = fit_lowrank_model(Y, A, C, rank=bp.rank, mode=bp.model)
     return state.replace(b=b, f=f, b0=b0)
 
@@ -48,6 +58,11 @@ def background_of(Y: jnp.ndarray, state: CNMFEState,
         return reconstruct_ring_background(
             state.W, Y, state.masked_A(), state.masked_C(), state.b0,
             radius=bp.ring_radius, ssub=bp.ssub)
+    if bp.model == "local":
+        from cnmf_e_tpu.ops.ring import local_background
+        Yest, _, _ = local_background(Y, radius=bp.ring_radius,
+                                      ssub=bp.ssub, ridge_eps=bp.ridge_eps)
+        return Yest
     if state.b is None:
         return jnp.broadcast_to(state.b0[None], Y.shape)
     return jnp.einsum("rhw,rt->thw", state.b, state.f) + state.b0[None]

@@ -67,15 +67,27 @@ def _pad_flat(X: jnp.ndarray, H: int, W: int, m: int) -> jnp.ndarray:
     return Xp.reshape(X.shape[0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "radius", "chunk"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "radius", "chunk",
+                                              "intercept", "neighbor_cutoff"))
 def fit_ring_weights(Bf: jnp.ndarray, H: int, W: int, radius: int,
-                     ridge_eps: float = 1e-5, chunk: int = 1024
-                     ) -> RingWeights:
+                     ridge_eps: float = 1e-5, chunk: int = 1024,
+                     mask: Optional[jnp.ndarray] = None,
+                     intercept: bool = True,
+                     neighbor_cutoff: float = 1.0) -> RingWeights:
     """Fit all per-pixel ring regressions. Bf: (T', H, W) (already centered,
     outlier-clamped, frame-subsampled by the caller). Returns RingWeights.
 
     Ridge: (X X^T + eps * tr(X X^T) * I) w = X y, identical in form to
     ``fit_ring_model.m:104``.
+
+    ``mask``: optional (T', H, W) per-pixel sample weights — frame t
+    contributes to pixel p's normal equations with weight mask[t, p]
+    (``local_background.m:113-116`` excludes each pixel's own event frames
+    from its fit). ``intercept=False`` drops the intercept column
+    (``local_background.m`` fits w without one; w0 is returned as 0).
+    ``neighbor_cutoff < 1``: keep only neighbors whose marginal slope
+    Xy/diag(XX) is below that per-pixel quantile
+    (``local_background.m:118-125``).
     """
     T = Bf.shape[0]
     offsets = ring_offsets(radius)
@@ -102,45 +114,89 @@ def fit_ring_weights(Bf: jnp.ndarray, H: int, W: int, radius: int,
     Bf_blocks = jnp.pad(Bf_flat, ((0, t_pad), (0, 0))).reshape(
         n_tb, TB, -1)
     y_blocks = jnp.pad(y_pad, ((0, t_pad), (0, 0))).reshape(n_tb, TB, -1)
+    if mask is not None:
+        m_pad = jnp.pad(mask.astype(Bf.dtype).reshape(T, -1),
+                        ((0, 0), (0, pad)))
+        m_blocks = jnp.pad(m_pad, ((0, t_pad), (0, 0))).reshape(
+            n_tb, TB, -1)
+    else:
+        m_blocks = None
 
     def solve_chunk(args):
-        ic, vc, yc_b = args        # (chunk,R), (chunk,R), (n_tb, TB, chunk)
+        # ic/vc: (chunk, R); yc_b (and mc_b): (n_tb, TB, chunk)
+        ic, vc, yc_b, mc_b = args
         vcf = vc.astype(Bf.dtype)
 
         def tb_body(i, acc):
-            G, sx, Xy, sy = acc
+            G, sx, Xy, sy, cnt = acc
             X = Bf_blocks[i][:, ic] * vcf[None]        # (TB, chunk, R)
             yb = yc_b[i]                               # (TB, chunk)
+            if mc_b is not None:
+                mb = mc_b[i]                           # (TB, chunk)
+                X = X * mb[:, :, None]
+                yb = yb * mb
+                cnt = cnt + jnp.sum(mb, axis=0)
             G = G + jnp.einsum("tpr,tps->prs", X, X,
                                preferred_element_type=jnp.float32)
             sx = sx + jnp.sum(X, axis=0)
             Xy = Xy + jnp.einsum("tpr,tp->pr", X, yb,
                                  preferred_element_type=jnp.float32)
             sy = sy + jnp.sum(yb, axis=0)
-            return (G, sx, Xy, sy)
+            return (G, sx, Xy, sy, cnt)
 
         G0 = jnp.zeros((chunk, R, R), Bf.dtype)
         sx0 = jnp.zeros((chunk, R), Bf.dtype)
         Xy0 = jnp.zeros((chunk, R), Bf.dtype)
         sy0 = jnp.zeros((chunk,), Bf.dtype)
-        G, sx, Xy, sy = jax.lax.fori_loop(0, n_tb, tb_body,
-                                          (G0, sx0, Xy0, sy0))
-        # augment with intercept row/col: [[G, sx], [sx^T, T]]
-        Gfull = jnp.concatenate([
-            jnp.concatenate([G, sx[:, :, None]], axis=2),
-            jnp.concatenate([sx[:, None, :],
-                             jnp.full((chunk, 1, 1), float(T), Bf.dtype)],
-                            axis=2)], axis=1)          # (chunk, R+1, R+1)
-        rhs = jnp.concatenate([Xy, sy[:, None]], axis=1)  # (chunk, R+1)
+        cnt0 = (jnp.zeros((chunk,), Bf.dtype) if mc_b is not None
+                else jnp.full((chunk,), float(T), Bf.dtype))
+        G, sx, Xy, sy, cnt = jax.lax.fori_loop(0, n_tb, tb_body,
+                                               (G0, sx0, Xy0, sy0, cnt0))
+        if neighbor_cutoff < 1.0:
+            # keep neighbors with Xy/diag(XX) below the per-pixel quantile
+            # (local_background.m:118-125); excluded neighbors get a unit
+            # diagonal and zero rhs so their weight solves to 0.
+            diag = jnp.diagonal(G, axis1=1, axis2=2)
+            ratio = Xy / jnp.maximum(diag, 1e-12)
+            thr = jnp.quantile(ratio, neighbor_cutoff, axis=-1,
+                               keepdims=True)
+            keep = (ratio <= thr).astype(Bf.dtype)
+            G = G * keep[:, :, None] * keep[:, None, :] + \
+                jnp.eye(R, dtype=Bf.dtype)[None] * (1.0 - keep)[:, :, None]
+            Xy = Xy * keep
+            sx = sx * keep
+        if intercept:
+            # augment with intercept row/col: [[G, sx], [sx^T, n]]
+            Gfull = jnp.concatenate([
+                jnp.concatenate([G, sx[:, :, None]], axis=2),
+                jnp.concatenate([sx[:, None, :],
+                                 jnp.maximum(cnt, 1.0)[:, None, None]],
+                                axis=2)], axis=1)      # (chunk, R+1, R+1)
+            rhs = jnp.concatenate([Xy, sy[:, None]], axis=1)  # (chunk, R+1)
+        else:
+            Gfull, rhs = G, Xy
+        n_sol = Gfull.shape[-1]
         tr = jnp.trace(Gfull, axis1=1, axis2=2)
-        reg = (ridge_eps * tr)[:, None, None] * jnp.eye(R + 1, dtype=Bf.dtype)
+        reg = (ridge_eps * tr)[:, None, None] * jnp.eye(n_sol, dtype=Bf.dtype)
         sol = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(Gfull + reg), rhs[..., None])[..., 0]
+        if not intercept:
+            sol = jnp.concatenate([sol, jnp.zeros((chunk, 1), Bf.dtype)],
+                                  axis=1)
         return sol                                     # (chunk, R+1)
 
     yc_all = jnp.moveaxis(
         y_blocks.reshape(n_tb, TB, n_chunks, chunk), 2, 0)  # (nc, n_tb, TB, chunk)
-    sols = jax.lax.map(solve_chunk, (idx_c, valid_c, yc_all))
+    if m_blocks is not None:
+        mc_all = jnp.moveaxis(
+            m_blocks.reshape(n_tb, TB, n_chunks, chunk), 2, 0)
+        sols = jax.lax.map(
+            lambda a: solve_chunk((a[0], a[1], a[2], a[3])),
+            (idx_c, valid_c, yc_all, mc_all))
+    else:
+        sols = jax.lax.map(
+            lambda a: solve_chunk((a[0], a[1], a[2], None)),
+            (idx_c, valid_c, yc_all))
     sols = sols.reshape(n_chunks * chunk, R + 1)[:d]
     valid_j = jnp.asarray(valid)
     w = jnp.where(valid_j, sols[:, :R], 0.0)
@@ -222,6 +278,69 @@ def fit_ring_model(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
     weights = fit_ring_weights(Bf_fit, Hs, Ws, radius_s,
                                ridge_eps=ridge_eps)
     return weights, b0, Bf_fit
+
+
+def local_background(Y: jnp.ndarray, radius: int,
+                     sn: Optional[jnp.ndarray] = None,
+                     thresh: float = 3.0, ssub: int = 1,
+                     neighbor_cutoff: float = 1.0,
+                     ridge_eps: float = 1e-5
+                     ) -> Tuple[jnp.ndarray, RingWeights, jnp.ndarray]:
+    """Event-masked ring background estimator (reference:
+    ``endoscope/local_background.m:66-138``; the ``lle.m:54-90`` variant is
+    the same regression without the event mask).
+
+    Unlike :func:`fit_ring_model` this needs NO neuron model (A, C): the
+    movie is centered to per-pixel mean 1, samples whose deviation from the
+    ring average exceeds ``thresh * sn`` are flagged as calcium events,
+    replaced by the ring average AND excluded from that pixel's normal
+    equations (``local_background.m:71-75,113-116``), and the per-pixel
+    ring regression (no intercept) is fit on the cleaned movie. The fitted
+    weights predict the background for all frames; the DC offset is
+    restored from the movie mean (``local_background.m:148-150``).
+
+    Y: (T, H, W). Returns (Yest (T, H, W), weights, b0 (H, W)).
+    """
+    T, H, W = Y.shape
+    Ymean = jnp.mean(Y, axis=0)
+    Yc = Y - Ymean[None] + 1.0
+
+    Hs, Ws, radius_s = _ssub_geometry(H, W, radius, ssub)
+    if ssub > 1:
+        from cnmf_e_tpu.ops.filters import box_downsample
+        Yc_s = box_downsample(Yc, ssub=ssub)
+        sn_s = (box_downsample(sn[None], ssub=ssub)[0]
+                if sn is not None else None)
+    else:
+        Yc_s, sn_s = Yc, sn
+    if sn_s is None:
+        from cnmf_e_tpu.ops.noise import noise_psd
+        sn_s = noise_psd(Yc_s.reshape(T, -1).T).reshape(Hs, Ws)
+
+    # ring average via a uniform ring operator (the annulus imfilter,
+    # local_background.m:66-70)
+    offsets = ring_offsets(radius_s)
+    _, valid = _neighbor_index(Hs, Ws, offsets)
+    n_valid = np.maximum(valid.sum(axis=1, keepdims=True), 1)
+    w_unif = RingWeights(
+        w=jnp.asarray(valid / n_valid, Yc_s.dtype),
+        w0=jnp.zeros((Hs * Ws,), Yc_s.dtype))
+    Yconv = apply_ring(w_unif, Yc_s, Hs, Ws, radius_s,
+                       include_intercept=False)
+    event = (Yc_s - Yconv) > thresh * sn_s[None]
+    Yfit = jnp.where(event, Yconv, Yc_s)
+
+    weights = fit_ring_weights(Yfit, Hs, Ws, radius_s, ridge_eps=ridge_eps,
+                               mask=(~event), intercept=False,
+                               neighbor_cutoff=neighbor_cutoff)
+    Yest_s = apply_ring(weights, Yfit, Hs, Ws, radius_s,
+                        include_intercept=False)
+    if ssub > 1:
+        Yest = jax.image.resize(Yest_s, (T, H, W), method="linear")
+    else:
+        Yest = Yest_s
+    b0 = Ymean - jnp.mean(Yest, axis=0)
+    return Yest + b0[None], weights, b0
 
 
 def _ssub_geometry(H: int, W: int, radius: int, ssub: int):

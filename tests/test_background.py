@@ -86,3 +86,111 @@ def test_fit_lowrank_model_svd():
     err = np.mean((B - true_B) ** 2)
     err_static = np.mean((true_B.mean(axis=0, keepdims=True) - true_B) ** 2)
     assert err < 0.3 * err_static
+
+
+def test_fit_ring_weights_masked_no_intercept_oracle(rng):
+    """Masked, intercept-free ring fit matches a per-pixel numpy ridge
+    solved only over that pixel's unmasked frames
+    (local_background.m:113-127 semantics)."""
+    from cnmf_e_tpu.ops.ring import ring_offsets, _neighbor_index
+
+    H = W = 10
+    T = 60
+    radius = 2
+    Bf = rng.standard_normal((T, H, W)).astype(np.float32)
+    mask = (rng.random((T, H, W)) > 0.3)
+
+    weights = fit_ring_weights(jnp.asarray(Bf), H, W, radius,
+                               ridge_eps=1e-5,
+                               mask=jnp.asarray(mask), intercept=False)
+    assert np.allclose(np.asarray(weights.w0), 0.0)
+
+    offs = ring_offsets(radius)
+    idx, valid = _neighbor_index(H, W, offs)
+    m = int(np.abs(offs).max())
+    Bp = np.pad(Bf, ((0, 0), (m, m), (m, m))).reshape(T, -1)
+    Bflat = Bf.reshape(T, -1)
+    mflat = mask.reshape(T, -1)
+    for p in [0, 17, 55, 99]:
+        X = Bp[:, idx[p]] * valid[p]                 # (T, R)
+        sel = mflat[:, p]
+        Xs, ys = X[sel].astype(np.float64), Bflat[sel, p].astype(np.float64)
+        G = Xs.T @ Xs
+        reg = 1e-5 * np.trace(G) * np.eye(G.shape[0])
+        w_ref = np.linalg.solve(G + reg, Xs.T @ ys)
+        w_got = np.asarray(weights.w[p], np.float64)
+        assert np.allclose(w_got[valid[p]], w_ref[valid[p]], atol=5e-3), p
+
+
+def test_local_background_event_masked():
+    """local_background recovers a smooth background under sparse calcium
+    transients; the event mask must reduce neuron contamination vs. a fit
+    with the mask disabled (thresh=inf)."""
+    from cnmf_e_tpu.ops.ring import local_background
+
+    gt = simulate_movie(seed=5, H=48, W=48, T=300, K=6, gSig=2.0,
+                        sn=0.05, bg_strength=1.5, min_dist=10.0,
+                        spike_rate=0.03)
+    Y = jnp.asarray(gt.Y)
+    B_true = np.asarray(gt.B) if hasattr(gt, "B") else None
+
+    Yest, wts, b0 = local_background(Y, radius=8, thresh=3.0)
+    Yest_nomask, _, _ = local_background(Y, radius=8, thresh=np.inf)
+
+    AC = np.einsum("khw,kt->thw", np.asarray(gt.A), np.asarray(gt.C))
+    resid = np.asarray(Yest) - (np.asarray(gt.Y) - AC)
+    resid_nomask = np.asarray(Yest_nomask) - (np.asarray(gt.Y) - AC)
+    # neuron-pixel contamination: correlation of the estimate with the
+    # neuron signal should be smaller with the event mask
+    npx = AC.std(axis=0) > 0.05
+    leak = float(np.mean(np.abs(
+        [np.corrcoef(np.asarray(Yest)[:, i, j], AC[:, i, j])[0, 1]
+         for i, j in zip(*np.where(npx))])))
+    leak_nomask = float(np.mean(np.abs(
+        [np.corrcoef(np.asarray(Yest_nomask)[:, i, j], AC[:, i, j])[0, 1]
+         for i, j in zip(*np.where(npx))])))
+    assert leak <= leak_nomask + 1e-6, (leak, leak_nomask)
+    # background reconstruction error is small relative to bg scale
+    bg_true = np.asarray(gt.Y) - AC
+    err = float(np.sqrt(np.mean(resid ** 2)))
+    scale = float(bg_true.std())
+    assert err < 0.35 * scale, (err, scale)
+
+
+def test_local_background_ssub_and_cutoff():
+    from cnmf_e_tpu.ops.ring import local_background
+
+    gt = simulate_movie(seed=6, H=40, W=40, T=200, K=4, gSig=2.0,
+                        sn=0.05, bg_strength=1.0, min_dist=10.0)
+    Y = jnp.asarray(gt.Y)
+    Yest, wts, b0 = local_background(Y, radius=8, ssub=2,
+                                     neighbor_cutoff=0.8)
+    assert Yest.shape == Y.shape
+    assert np.isfinite(np.asarray(Yest)).all()
+    # DC restored: temporal mean of estimate matches movie mean closely
+    assert float(np.abs(np.asarray(jnp.mean(Yest, 0) - jnp.mean(Y, 0))
+                        ).mean()) < 0.05
+
+
+def test_background_local_model_dispatch():
+    """model='local' flows through update_background / background_of."""
+    import dataclasses
+    from cnmf_e_tpu.config import CNMFEParams
+    from cnmf_e_tpu.models.background import background_of, update_background
+    from cnmf_e_tpu.models.state import empty_state
+
+    gt = simulate_movie(seed=9, H=32, W=32, T=150, K=3, gSig=2.0,
+                        sn=0.05, bg_strength=1.0, min_dist=9.0)
+    params = CNMFEParams.preset_1p()
+    params = params.replace(background=dataclasses.replace(
+        params.background, model="local", ring_radius=7))
+    st = empty_state(K_max=8, H=32, W=32, T=150)
+    Y = jnp.asarray(gt.Y)
+    st2 = update_background(Y, st, params)
+    assert st2.W is not None and np.isfinite(np.asarray(st2.b0)).all()
+    B = background_of(Y, st2, params)
+    assert B.shape == Y.shape
+    AC = np.einsum("khw,kt->thw", np.asarray(gt.A), np.asarray(gt.C))
+    bg_true = np.asarray(gt.Y) - AC
+    err = float(np.sqrt(np.mean((np.asarray(B) - bg_true) ** 2)))
+    assert err < 0.4 * float(bg_true.std()), err
