@@ -129,3 +129,101 @@ def simulate_movie(seed: int = 0, H: int = 64, W: int = 64, T: int = 1000,
                        b0=b0.astype(np.float32, copy=False),
                        Bf=Bf.astype(np.float32, copy=False),
                        centers=centers, g=g, sn=sn)
+
+
+def simulate_movie_store(out_dir: str, seed: int = 0, H: int = 512,
+                         W: int = 512, T: int = 100_000, K: int = 2000,
+                         gSig: float = 3.0, g: float = 0.95,
+                         sn: float = 0.1, bg_strength: float = 1.0,
+                         spike_rate: float = 0.01, min_dist: float = 8.0,
+                         baseline: float = 1.0,
+                         frames_per_block: int = 1000,
+                         dtype: str = "float16",
+                         overwrite: bool = False):
+    """Synthesize an out-of-core movie DIRECTLY into a MovieStore, one
+    frame block at a time (bounded host RAM; the AR-trace and background
+    temporal recursions carry state across blocks).
+
+    The scale target is BASELINE.md config 5 (512x512x100k, 2k neurons) —
+    a movie that never exists in memory at once. Blocks are written in
+    ``dtype`` (float16 halves the disk footprint; ingest casts to f32).
+    Ground truth (A as float16, centers, g) is saved to
+    ``out_dir/ground_truth.npz``; traces are NOT stored at full rate (they
+    would rival the movie's size) — a ``gt_C_decim.npy`` (K, T//25)
+    decimation is kept for spot checks.
+
+    Returns the :class:`cnmf_e_tpu.io.store.MovieStore`.
+    """
+    import json
+    import os
+
+    from cnmf_e_tpu.io.store import MovieStore
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(man_path) and not overwrite:
+        store = MovieStore(out_dir)
+        if tuple(store.shape) == (T, H, W) and \
+                store.frames_per_block == frames_per_block:
+            return store
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    A, centers = gaussian_footprints(rng, K, H, W, gSig, min_dist=min_dist)
+    K = A.shape[0]
+    A = A.astype(np.float32)
+    # per-neuron bounding boxes for sparse pasting
+    boxes = []
+    for k in range(K):
+        ys, xs = np.nonzero(A[k])
+        boxes.append((ys.min(), ys.max() + 1, xs.min(), xs.max() + 1))
+
+    b0 = (baseline * (0.5 + smooth_field(rng, H, W, scale=max(H, W) / 2))
+          ).astype(np.float32)
+    profs = np.stack([
+        (bg_strength * smooth_field(rng, H, W, scale=max(H, W) / 3)).ravel()
+        for _ in range(2)]).astype(np.float32)                  # (2, H*W)
+    bg_g = np.exp(-1.0 / rng.uniform(50, 200, size=2)).astype(np.float32)
+    bg_scale = np.sqrt(1.0 - bg_g ** 2)          # unit-variance AR(1)
+
+    n_blocks = -(-T // frames_per_block)
+    c_carry = np.zeros(K, np.float32)
+    d_carry = np.zeros(2, np.float32)
+    C_dec = []
+    t_global = 0
+    for b in range(n_blocks):
+        Tb = min(frames_per_block, T - b * frames_per_block)
+        S_blk = (rng.random((K, Tb)) < spike_rate) * (
+            0.5 + rng.random((K, Tb)))
+        C_blk = np.empty((K, Tb), np.float32)
+        drives = np.empty((2, Tb), np.float32)
+        for t in range(Tb):
+            c_carry = c_carry * g + S_blk[:, t]
+            C_blk[:, t] = c_carry
+            d_carry = d_carry * bg_g + bg_scale * rng.standard_normal(
+                2).astype(np.float32)
+            drives[:, t] = d_carry
+        Y = (drives.T @ profs).reshape(Tb, H, W)
+        Y += b0[None]
+        for k in range(K):
+            y0, y1, x0, x1 = boxes[k]
+            Y[:, y0:y1, x0:x1] += C_blk[k][:, None, None] * \
+                A[k, y0:y1, x0:x1][None]
+        rows = max(1, (1 << 26) // (H * W))
+        for t0 in range(0, Tb, rows):
+            t1 = min(t0 + rows, Tb)
+            Y[t0:t1] += sn * rng.standard_normal(
+                (t1 - t0, H, W)).astype(np.float32)
+        np.save(os.path.join(out_dir, f"block_{b:05d}.npy"),
+                Y.astype(dtype))
+        first = (-t_global) % 25
+        C_dec.append(C_blk[:, first::25])
+        t_global += Tb
+
+    with open(man_path, "w") as f:
+        json.dump({"shape": [T, H, W], "frames_per_block": frames_per_block,
+                   "source": "synthetic", "source_dtype": dtype}, f)
+    np.savez(os.path.join(out_dir, "ground_truth.npz"),
+             A=A.astype(np.float16), centers=centers, g=g, sn=sn, b0=b0)
+    np.save(os.path.join(out_dir, "gt_C_decim.npy"),
+            np.concatenate(C_dec, axis=1).astype(np.float16))
+    return MovieStore(out_dir)

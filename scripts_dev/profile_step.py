@@ -1,99 +1,169 @@
-"""Per-stage timing of the update step on the real TPU (dev tool)."""
+"""Per-piece timing of the HALS iteration on the real TPU (roofline work).
+
+Times each component of parallel/step.py::one_iteration as its own chained
+jitted program on the bench shapes (256x256x2000, K=192, radius 13) so we
+can see where the ~22 ms/iteration actually goes:
+
+  grams   : the two (d,T)x(T,K) P-contractions + KxK terms
+  stencil : GA = W(a_k) MXU banded stencil over K footprint images
+  hals    : spatial + temporal blocked-GS sweeps (n_hals=1)
+  median  : sub-median baseline subtraction
+  deconv  : noise_psd + foopsi OASIS over K traces
+  full    : the real make_hals_iteration program (reference point)
+
+Run: python scripts_dev/profile_step.py [--bf16]
+"""
+
+import sys
 import time
 
 import numpy as np
 
-from cnmf_e_tpu.utils.cache import enable_compilation_cache
-enable_compilation_cache()
-
 import jax
 import jax.numpy as jnp
 
-from cnmf_e_tpu.ops.ring import RingWeights, apply_ring, ring_offsets
-from cnmf_e_tpu.ops.pallas_ring import apply_ring_pallas
-from cnmf_e_tpu.ops.noise import noise_psd
-from cnmf_e_tpu.ops.oasis import foopsi_ar1
-from cnmf_e_tpu.parallel.step import (StepState, make_bg_projection,
-                                      make_hals_iteration)
-
-H = W = 256
-T = 2000
-K = 192
-radius = 13
-R = ring_offsets(radius).shape[0]
-rng = np.random.default_rng(0)
-
-Y = jnp.asarray(rng.standard_normal((T, H, W)) * 0.1 + 1.0, jnp.float32)
-A = np.zeros((K, H, W), np.float32)
-yy, xx = np.mgrid[0:H, 0:W]
-for k in range(K):
-    cy, cx = rng.uniform(10, H - 10), rng.uniform(10, W - 10)
-    A[k] = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
-Aj = jnp.asarray(A)
-C = jnp.asarray(np.abs(rng.standard_normal((K, T))).astype(np.float32))
-wr = jnp.full((H * W, R), 1.0 / R, jnp.float32)
-w0 = jnp.zeros((H * W,), jnp.float32)
-weights = RingWeights(w=wr, w0=w0)
-Pd = jnp.asarray(rng.standard_normal((H * W, T)).astype(np.float32))
-Ad = Aj.reshape(K, -1).T
-
 
 def force(x):
-    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
+    return float(jnp.sum(jnp.abs(leaves[0]).astype(jnp.float32)))
 
 
-def bench(name, fn, *args, n=3):
+def timeit(fn, *args, chain_div=1):
     out = fn(*args)
     force(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-        force(out)
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{name:42s} {dt:9.2f} ms", flush=True)
-    return dt
+    out = fn(*args)
+    force(out)
+    return (time.perf_counter() - t0) / chain_div
 
 
-f_ring_pallas = jax.jit(lambda w, x: apply_ring_pallas(w, x, H, W, radius))
-f_ring_xla_A = jax.jit(lambda w, a: apply_ring(w, a, H, W, radius,
-                                               include_intercept=False))
-f_matmul_PC = jax.jit(lambda p, c: p @ c.T)              # (d,T)@(T,K)
-f_matmul_AP = jax.jit(lambda a, p: a.T @ p)              # (K,d)@(d,T)
-f_deconv = jax.jit(lambda c, g, sn: foopsi_ar1(c, g, smin=-3.0, sn=sn,
-                                               optimize_b=False))
-f_noise = jax.jit(noise_psd)
+def main():
+    from cnmf_e_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from cnmf_e_tpu.ops.hals import hals_spatial_sweeps, hals_temporal_sweeps
+    from cnmf_e_tpu.ops.noise import noise_psd
+    from cnmf_e_tpu.ops.oasis import foopsi_ar1
+    from cnmf_e_tpu.ops.ring import ring_offsets
+    from cnmf_e_tpu.parallel.step import (StepState, make_bg_projection,
+                                          make_hals_iteration)
+
+    H = W = 256
+    T = 2000
+    K = 192
+    radius = 13
+    CH = 5
+    d = H * W
+    R = ring_offsets(radius).shape[0]
+    rng = np.random.default_rng(0)
+
+    Y = jnp.asarray(rng.standard_normal((T, H, W)) * 0.1 + 1.0, jnp.float32)
+    A = np.zeros((K, H, W), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for k in range(K):
+        cy, cx = rng.uniform(10, H - 10), rng.uniform(10, W - 10)
+        A[k] = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+    C = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+
+    st = StepState(A=jnp.asarray(A), C=jnp.asarray(C),
+                   C_raw=jnp.zeros((K, T), jnp.float32),
+                   S=jnp.zeros((K, T), jnp.float32),
+                   g=jnp.full((K,), 0.92, jnp.float32),
+                   b0=jnp.ones((H, W), jnp.float32),
+                   ring_w=jnp.full((H * W, R), 1.0 / R, jnp.float32),
+                   ring_w0=jnp.zeros((H * W,), jnp.float32))
+
+    proj = make_bg_projection(None, H, W, T, radius=radius)
+    pm = proj(Y, st)
+    force(pm.P)
+
+    bf16 = "--bf16" in sys.argv
+    gdt = jnp.bfloat16 if bf16 else jnp.float32
+
+    Pd = pm.P.reshape(T, d).T.astype(gdt)     # (d, T)
+    Ad = jnp.asarray(A.reshape(K, d).T)       # (d, K)
+    Cj = st.C
+
+    t_proj = timeit(lambda Y_: proj(Y_, st), Y)
+
+    @jax.jit
+    def grams2(Pd, Ad, C):
+        def body(i, carry):
+            Ad_, C_ = carry
+            Cm = C_ - jnp.mean(C_, axis=1, keepdims=True)
+            V = Cm @ Cm.T                                       # (K, K)
+            U = (Pd @ Cm.astype(gdt).T).astype(jnp.float32) + Ad_ @ V
+            Ut = (Pd.T @ Ad_.astype(gdt)).astype(jnp.float32).T  # (K, T)
+            return (Ad_ + 1e-12 * U, C_ + 1e-12 * Ut)
+        return jax.lax.fori_loop(0, CH, body, (Ad, C))
+
+    t_grams = timeit(grams2, Pd, Ad, Cj, chain_div=CH)
+
+    from cnmf_e_tpu.ops.pallas_ring_mxu import apply_ring_mxu
+
+    @jax.jit
+    def stencil(A_, bands, w0):
+        def body(i, A3):
+            GA = apply_ring_mxu(bands, w0, A3, H, W, radius)
+            return A3 + 1e-12 * GA
+        return jax.lax.fori_loop(0, CH, body, A_)
+
+    t_stencil = timeit(stencil, st.A, pm.bands,
+                       jnp.zeros_like(st.ring_w0), chain_div=CH)
+
+    U0 = np.abs(rng.standard_normal((d, K))).astype(np.float32)
+    V0 = np.eye(K, dtype=np.float32) * 5 + 0.1
+    Ut0 = np.abs(rng.standard_normal((K, T))).astype(np.float32)
+
+    @jax.jit
+    def hals(U, V, Ad_, Ut, C_):
+        def body(i, carry):
+            Ad_, C_ = carry
+            Ad2 = hals_spatial_sweeps(U, V, Ad_, mask=None, n_iter=1)
+            C2 = hals_temporal_sweeps(Ut, V, C_, n_iter=1)
+            return (Ad2, C2)
+        return jax.lax.fori_loop(0, CH, body, (Ad_, C_))
+
+    t_hals = timeit(hals, jnp.asarray(U0), jnp.asarray(V0), Ad,
+                    jnp.asarray(Ut0), Cj, chain_div=CH)
+
+    @jax.jit
+    def median_base(C_):
+        def body(i, C_):
+            med = jnp.median(C_, axis=-1, keepdims=True)
+            below = C_ < med
+            base = jnp.sum(jnp.where(below, C_, 0.0), axis=-1) / \
+                jnp.maximum(jnp.sum(below, axis=-1), 1)
+            return C_ - 1e-12 * base[:, None]
+        return jax.lax.fori_loop(0, CH, body, C_)
+
+    t_median = timeit(median_base, Cj, chain_div=CH)
+
+    @jax.jit
+    def deconv(C_, g):
+        def body(i, C_):
+            sn = noise_psd(C_)
+            res = foopsi_ar1(C_, g, smin=-3.0, sn=sn, optimize_b=False)
+            return C_ + 1e-12 * res.c
+        return jax.lax.fori_loop(0, CH, body, C_)
+
+    t_deconv = timeit(deconv, Cj, st.g, chain_div=CH)
+
+    iterate = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
+                                  chain=CH)
+    t_full = timeit(lambda p, s: iterate(p, s), pm, st, chain_div=CH)
+
+    tot = t_grams + t_stencil + t_hals + t_median + t_deconv
+    print(f"dtype for P-grams: {gdt.__name__}")
+    print(f"proj (per bg refresh) : {t_proj*1e3:8.2f} ms")
+    print(f"grams  (per iter)     : {t_grams*1e3:8.2f} ms")
+    print(f"stencil(per iter)     : {t_stencil*1e3:8.2f} ms")
+    print(f"hals   (per iter)     : {t_hals*1e3:8.2f} ms")
+    print(f"median (per iter)     : {t_median*1e3:8.2f} ms")
+    print(f"deconv (per iter)     : {t_deconv*1e3:8.2f} ms")
+    print(f"sum of pieces         : {tot*1e3:8.2f} ms")
+    print(f"full iteration        : {t_full*1e3:8.2f} ms")
+    print(f"-> full-iter throughput {H*W*T/t_full/1e6:.0f} Mpf/s")
 
 
-def f_median(c):
-    med = jnp.median(c, axis=-1, keepdims=True)
-    below = c < med
-    base = jnp.sum(jnp.where(below, c, 0.0), axis=-1) / \
-        jnp.maximum(jnp.sum(below, axis=-1), 1)
-    return c - base[:, None]
-
-
-f_median = jax.jit(f_median)
-
-g = jnp.full((K,), 0.92, jnp.float32)
-sn = jnp.ones((K,), jnp.float32)
-
-bench("ring apply pallas (movie)", f_ring_pallas, weights, Y)
-bench("ring apply XLA (K footprints)", f_ring_xla_A, weights, Aj)
-bench("matmul Pd@Cc.T (d,T)x(T,K)", f_matmul_PC, Pd, C)
-bench("matmul A.T@Pd (K,d)x(d,T)", f_matmul_AP, Ad, Pd)
-bench("noise_psd (K,T)", f_noise, C)
-bench("foopsi_ar1 (K,T)", f_deconv, C, g, sn)
-bench("median/baseline (K,T)", f_median, C)
-
-st = StepState(A=Aj, C=C, C_raw=jnp.zeros((K, T), jnp.float32),
-               S=jnp.zeros((K, T), jnp.float32), g=g,
-               b0=jnp.ones((H, W), jnp.float32), ring_w=wr, ring_w0=w0)
-proj = make_bg_projection(None, H, W, T, radius=radius)
-it_d = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1)
-it_c = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
-                           crop_box=48)
-Pm = proj(Y, st)
-force(Pm)
-bench("PROJECTION (movie stencil)", lambda: proj(Y, st))
-bench("ITERATION dense", lambda: it_d(Pm, st))
-bench("ITERATION crop=48", lambda: it_c(Pm, st))
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""BASELINE config-5 scale demo: 512x512x100k, 2k neurons, one chip.
+
+Synthesizes the movie block-by-block directly into a float16 MovieStore
+(~52 GB on disk; the movie never exists in memory at once), then runs the
+exact streaming pipeline (models/streaming.py) on the single tunneled TPU
+chip, reporting sustained pixel-frame throughput, stage wall-times, and
+device memory stats.
+
+Run:  PYTHONPATH=/root/repo python scripts_dev/scale_demo.py \
+          [--store DIR] [--small]
+
+--small runs a 256x256x20k / 500-neuron variant first (shakeout).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def device_mem():
+    import jax
+    try:
+        s = jax.local_devices()[0].memory_stats()
+        return {k: s[k] for k in ("bytes_in_use", "peak_bytes_in_use")
+                if k in s}
+    except Exception:
+        return {}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", default="/tmp/scale_store")
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--n-outer", type=int, default=2)
+    args = ap.parse_args()
+
+    from cnmf_e_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import dataclasses
+    from cnmf_e_tpu.config import (BackgroundParams, CNMFEParams,
+                                   InitParams, MergeParams)
+    from cnmf_e_tpu.models.streaming import fit_streaming
+    from cnmf_e_tpu.utils.metrics import detection_f1
+    from cnmf_e_tpu.utils.simulate import simulate_movie_store
+
+    if args.small:
+        H = W = 256
+        T, K = 20_000, 500
+    else:
+        H = W = 512
+        T, K = 100_000, 2000
+
+    t0 = time.perf_counter()
+    store = simulate_movie_store(args.store, seed=11, H=H, W=W, T=T, K=K,
+                                 gSig=3.0, sn=0.08, bg_strength=0.8,
+                                 min_dist=7.0, spike_rate=0.01,
+                                 frames_per_block=1000)
+    t_synth = time.perf_counter() - t0
+    print(f"store ready in {t_synth:.0f}s: {store.shape} "
+          f"({store.n_blocks()} blocks)", flush=True)
+
+    params = CNMFEParams(
+        init=InitParams(gSig=3.0, gSiz=10, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=2304 if not args.small else 640,
+                        seeds_per_round=256, max_rounds=12),
+        background=BackgroundParams(model="ring", ring_radius=9,
+                                    frame_cap_factor=25),
+        merge=MergeParams(dmin=4.0),
+    )
+
+    print("device mem before:", device_mem(), flush=True)
+    t0 = time.perf_counter()
+    state = fit_streaming(store, params, n_outer=args.n_outer,
+                          init_budget_frames=2000, verbose=True)
+    dt = time.perf_counter() - t0
+    n = int(np.asarray(state.active).sum())
+    mem = device_mem()
+    print("device mem after:", mem, flush=True)
+
+    gt = np.load(f"{args.store}/ground_truth.npz")
+    A_est = np.asarray(state.masked_A())[:n]
+    f1 = detection_f1(A_est, np.asarray(gt["A"], np.float32))
+    mpfs = H * W * T / dt / 1e6
+    print(json.dumps({
+        "shape": [T, H, W], "K_true": int(gt["A"].shape[0]),
+        "neurons_found": n, "recall": round(f1["recall"], 3),
+        "precision": round(f1["precision"], 3),
+        "wall_seconds": round(dt, 1),
+        "sustained_Mpf_per_s": round(mpfs, 1),
+        "synth_seconds": round(t_synth, 1),
+        "peak_bytes_in_use": mem.get("peak_bytes_in_use"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

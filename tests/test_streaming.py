@@ -135,3 +135,30 @@ def test_late_firing_neurons_recovered_by_batches_and_streaming(tmp_path):
     A_est2 = np.asarray(st.masked_A())[np.asarray(st.active)]
     f1s = detection_f1(A_est2, gt.A)
     assert f1s["f1"] >= 0.9, f1s
+
+
+@pytest.mark.slow
+def test_streaming_from_simulated_store(tmp_path):
+    """simulate_movie_store -> fit_streaming end-to-end (the scale-demo
+    path at toy size): blocks synthesized directly into the store with
+    AR state carried across blocks."""
+    from cnmf_e_tpu.utils.simulate import simulate_movie_store
+
+    store = simulate_movie_store(str(tmp_path / "store"), seed=3, H=48,
+                                 W=48, T=750, K=7, gSig=2.5, sn=0.06,
+                                 bg_strength=0.6, min_dist=12.0,
+                                 spike_rate=0.04, frames_per_block=250,
+                                 overwrite=True)
+    gt = np.load(str(tmp_path / "store" / "ground_truth.npz"))
+    params = CNMFEParams(
+        init=InitParams(gSig=2.5, gSiz=8, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=32, seeds_per_round=16, max_rounds=5),
+        background=BackgroundParams(model="ring", ring_radius=9),
+        merge=MergeParams(dmin=4.0),
+    )
+    state = fit_streaming(store, params, n_outer=2,
+                          init_budget_frames=400)
+    n = int(state.n_active())
+    A_est = np.asarray(state.masked_A())[:n]
+    f1 = detection_f1(A_est, np.asarray(gt["A"], np.float32))
+    assert f1["recall"] >= 0.7, f1
