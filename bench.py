@@ -37,11 +37,10 @@ def force(x):
     return float(jnp.sum(jnp.abs(leaves[0]).astype(jnp.float32)))
 
 
-def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=5):
+def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
     import jax.numpy as jnp
     from cnmf_e_tpu.ops.ring import ring_offsets
-    from cnmf_e_tpu.parallel.step import (
-        StepState, make_bg_projection, make_hals_iteration)
+    from cnmf_e_tpu.parallel.step import StepState, make_update_step
 
     R = ring_offsets(radius).shape[0]
     rng = np.random.default_rng(0)
@@ -66,24 +65,21 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=5):
         ring_w0=jnp.zeros((H * W,), jnp.float32),
     )
 
-    proj = make_bg_projection(None, H, W, T, radius=radius)
-    iterate = make_hals_iteration(None, H, W, T, radius=radius, n_hals=1,
-                                  chain=n_iter)
+    step = make_update_step(None, H, W, T, radius=radius, n_hals=1,
+                            chain=n_iter)
 
     # warmup/compile
-    Pm = proj(Y, st)
-    out = iterate(Pm, st)
+    out = step(Y, st)
     force(out.C)
 
-    # time one background projection + a block of n_iter HALS iterations
-    # fused into ONE program (one dispatch), with ONE final sync. The
-    # projection is charged amortized: the pipeline refreshes the
-    # background once per block of HALS iterations (the reference holds B
-    # fixed between bg updates too), and the ~29 ms tunnel dispatch floor
-    # must not be charged to every iteration.
+    # time one refresh block — background projection + n_iter HALS
+    # iterations against the frozen B, all ONE program / ONE ~29 ms
+    # tunnel dispatch — with ONE final sync. The projection is charged
+    # amortized: the reference likewise refreshes B once per outer pass
+    # and runs its spatial/temporal sweeps against the snapshot
+    # (update_background_parallel.m:311-317, demo_large_data_1p.m:199-213).
     t0 = time.perf_counter()
-    Pm = proj(Y, st)
-    out = iterate(Pm, out)
+    out = step(Y, out)
     force(out.C)
     dt = (time.perf_counter() - t0) / n_iter
     return H * W * T / dt / 1e6          # Mpixel-frames/s/chip

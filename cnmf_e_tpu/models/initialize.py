@@ -40,6 +40,7 @@ from cnmf_e_tpu.ops.morphology import (circular_constraint,
 from cnmf_e_tpu.ops.noise import estimate_baseline_noise, noise_psd
 from cnmf_e_tpu.ops.oasis import deconvolve
 from cnmf_e_tpu.models.state import CNMFEState, empty_state
+from cnmf_e_tpu.ops.stats import fast_median
 
 
 class ExtractResult(NamedTuple):
@@ -239,7 +240,7 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
             -1, 0)
 
     HY = filter_movie(Y_work, psf)
-    HY = HY - jnp.median(HY, axis=0, keepdims=True)
+    HY = HY - fast_median(HY, axis=0, keepdims=True)
     Ysig = noise_psd(jnp.moveaxis(HY, 0, -1))
 
     searched = jnp.zeros((H, W), bool)
@@ -410,4 +411,4 @@ def _mark_searched(searched, rows, cols, valid):
 
 def refilter(Y: jnp.ndarray, psf: np.ndarray) -> jnp.ndarray:
     HY = filter_movie(Y, psf)
-    return HY - jnp.median(HY, axis=0, keepdims=True)
+    return HY - fast_median(HY, axis=0, keepdims=True)

@@ -128,11 +128,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         C_raw = hals_temporal_sweeps(U, V, C0,
                                      n_iter=params.temporal.n_iter,
                                      active=state.active)
-        med = jnp.median(C_raw, axis=-1, keepdims=True)
-        below = C_raw < med
-        base = jnp.sum(jnp.where(below, C_raw, 0.0), axis=-1) / \
-            jnp.maximum(jnp.sum(below, axis=-1), 1)
-        C_raw = C_raw - base[:, None]
+        from cnmf_e_tpu.ops.stats import submedian_mean
+        C_raw = C_raw - submedian_mean(C_raw, axis=-1)[:, None]
         res = deconvolve(C_raw, params.temporal.deconv)
         act = state.active[:, None]
         state = state.replace(

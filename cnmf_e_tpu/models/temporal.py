@@ -37,10 +37,8 @@ def update_temporal(Ysignal: jnp.ndarray, state: CNMFEState,
                               active=state.active)
 
     # per-trace baseline: mean of sub-median samples (HALS_temporal.m:79)
-    med = jnp.median(C_raw, axis=-1, keepdims=True)
-    below = C_raw < med
-    b = jnp.sum(jnp.where(below, C_raw, 0.0), axis=-1) / \
-        jnp.maximum(jnp.sum(below, axis=-1), 1)
+    from cnmf_e_tpu.ops.stats import submedian_mean
+    b = submedian_mean(C_raw, axis=-1)
     C_raw = C_raw - b[:, None]
     sn = noise_psd(C_raw)
 

@@ -18,6 +18,7 @@ import numpy as np
 
 from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf, neighbor_kernel
 from cnmf_e_tpu.ops.noise import noise_psd
+from cnmf_e_tpu.ops.stats import fast_median
 
 
 def correlation_image(Y: jnp.ndarray, kernel: Optional[np.ndarray] = None,
@@ -64,7 +65,7 @@ def correlation_pnr(Y: jnp.ndarray, gSig: float = 3.0,
     """
     psf = gaussian_psf(gSig, center_psf)
     HY = filter_movie(Y, psf)
-    HY = HY - jnp.median(HY, axis=0, keepdims=True)
+    HY = HY - fast_median(HY, axis=0, keepdims=True)
     sn = noise_psd(jnp.moveaxis(HY, 0, -1))          # (H, W)
     pnr = jnp.max(HY, axis=0) / jnp.maximum(sn, 1e-12)
     HY_thr = jnp.where(HY >= noise_thresh_sig * sn[None], HY, 0.0)

@@ -64,21 +64,21 @@ def ring_dense_bands(weights: RingWeights, H: int, W: int, radius: int
     _, valid = _neighbor_index(H, W, offsets)
     wm = (weights.w * jnp.asarray(valid, weights.w.dtype)).reshape(H, W, R)
 
+    # one scatter of the H*W*R weights into the (H, D, W, W) band tensor:
+    # bands[h, dy+mr, w+dx, w] = wm[h, w, r]. (The earlier dense build —
+    # one (H, W, W) fma per tap — moved ~12 GB through HBM at 256^2/R=92
+    # and dominated the per-refresh projection cost.)
     wcol = np.arange(W)
-    bands = jnp.zeros((H, D, W, W), jnp.float32)
-    for dy in range(-mr, mr + 1):
-        taps = [r for r in range(R) if offsets[r, 0] == dy]
-        if not taps:
-            continue
-        acc = jnp.zeros((H, W, W), jnp.float32)
-        for r in taps:
-            dx = int(offsets[r, 1])
-            # static diagonal mask: rows w' = w + dx
-            diag = jnp.asarray(
-                (wcol[:, None] == (wcol[None, :] + dx)), jnp.float32)
-            acc = acc + diag[None, :, :] * wm[:, None, :, r]
-        bands = bands.at[:, dy + mr].set(acc)
-    return bands.reshape(H, D * W, W).astype(jnp.bfloat16)
+    d_idx = np.broadcast_to((offsets[:, 0] + mr)[None, :], (W, R))
+    row_idx = wcol[:, None] + offsets[None, :, 1]          # (W, R)
+    col_idx = np.broadcast_to(wcol[:, None], (W, R))
+    bands = jnp.zeros((H, D, W, W), jnp.bfloat16)
+    # out-of-FOV columns (row_idx outside [0, W)) are dropped by the
+    # scatter itself; index triples are otherwise unique per (w, r)
+    bands = bands.at[:, jnp.asarray(d_idx), jnp.asarray(row_idx),
+                     jnp.asarray(col_idx)].set(
+        wm.astype(jnp.bfloat16), mode="drop")
+    return bands.reshape(H, D * W, W)
 
 
 def _mxu_kernel(D, W, TB):
@@ -130,6 +130,105 @@ def _mxu_kernel(D, W, TB):
             out_ref[0, :, :] = compute(xb)
 
     return kernel
+
+
+def _mxu_flat_kernel(DW, W, TB):
+    def kernel(x_hbm, band_ref, w0_ref, out_ref, xa, xb, sa, sb):
+        h = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        def make(tile, buf, sem):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(tile * TB, TB), pl.ds(h * W, DW)], buf, sem)
+
+        parity = t % 2
+
+        @pl.when(t == 0)
+        def _start_first():
+            make(t, xa, sa).start()
+
+        @pl.when(t + 1 < nt)
+        def _prefetch():
+            @pl.when(parity == 0)
+            def _():
+                make(t + 1, xb, sb).start()
+
+            @pl.when(parity == 1)
+            def _():
+                make(t + 1, xa, sa).start()
+
+        w0b = jnp.broadcast_to(w0_ref[0, :, :], (TB, W)).astype(jnp.float32)
+
+        def compute(buf):
+            return w0b + jnp.dot(buf[...], band_ref[0],
+                                 preferred_element_type=jnp.float32)
+
+        @pl.when(parity == 0)
+        def _use_a():
+            make(t, xa, sa).wait()
+            out_ref[...] = compute(xa)
+
+        @pl.when(parity == 1)
+        def _use_b():
+            make(t, xb, sb).wait()
+            out_ref[...] = compute(xb)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "radius", "interpret"))
+def apply_ring_mxu_flat(bands: jnp.ndarray, w0: jnp.ndarray, X: jnp.ndarray,
+                        H: int, W: int, radius: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Banded-matmul ring apply, flat layout. X: (T, H, W) -> (T, H, W).
+
+    Unlike :func:`apply_ring_mxu` this keeps the movie in its natural
+    (T, H*W) layout — the row band for output row h is the CONTIGUOUS lane
+    slice [h*W, (h+D)*W) of the mr-row-padded flat movie, so the kernel
+    needs no (T,H,W)->(H,T,W) relayout on either side (measured ~30 ms per
+    movie pass at 256x256x2000, as much as the matmuls themselves) and the
+    D-loop of (TB,W)x(W,W) matmuls becomes ONE (TB, D*W)x(D*W, W) MXU
+    call. Dynamic lane offset h*W is a provable multiple of 128 for the
+    W % 128 == 0 FOVs this path serves.
+    """
+    offsets = ring_offsets(radius)
+    mr = int(np.abs(offsets).max())
+    D = 2 * mr + 1
+    T = X.shape[0]
+    TB = 128
+    T_pad = -(-T // TB) * TB
+
+    Xf = X.reshape(T, H * W).astype(jnp.bfloat16)
+    Xp = jnp.pad(Xf, ((0, T_pad - T), (mr * W, mr * W)))
+    w0r = w0.reshape(H, 1, W).astype(jnp.float32)
+
+    grid = (H, T_pad // TB)
+    out = pl.pallas_call(
+        _mxu_flat_kernel(D * W, W, TB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, D * W, W), lambda h, t: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda h, t: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, W), lambda h, t: (t, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, H * W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TB, D * W), jnp.bfloat16),
+            pltpu.VMEM((TB, D * W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(Xp, bands, w0r)
+    return out[:T].reshape(T, H, W)
 
 
 @functools.partial(jax.jit,

@@ -14,19 +14,19 @@ over the (patch, frame) mesh:
 FLOP structure (the reference never sees this because its patches are
 small; at full-FOV scale the dense contractions dominate):
 
-  * the background-subtracted movie ``Ysig = Y - B`` is never materialized.
-    The ring operator is linear, so with  P = (Y - b0) - W(Y - b0) - w0
-    (one stencil pass over the movie) and  GA[k] = W(a_k)  (a stencil pass
-    over the K footprint images, ~K/T the cost of a movie pass),
-
-        Ysig = P + GA @ C
-
-    and both HALS Grams decompose into P-contractions plus tiny K x K
-    terms — this deletes the (K, d) x (K, T) reconstruction matmul that a
-    literal  B = W(Y - b0 - A C)  evaluation would need.
-  * with ``crop_box`` set (single-device path), the remaining P-Grams are
-    evaluated only on a crop_box^2 pixel box around each footprint
-    (footprints are localized — the reference's search-location semantics,
+  * the background is FROZEN between refreshes, exactly like the
+    reference's A_prev/C_prev snapshot (``update_background_parallel.m:
+    311-317``): ``make_bg_projection`` evaluates Ysig = Y - B once per
+    refresh (one movie stencil + one (d, K) x (K, T) reconstruction
+    matmul, in bf16 on the MXU), and every chained HALS iteration then
+    touches only Ysig — two movie-sized Gram contractions plus K-sized
+    solver work, no ring machinery.
+  * the Grams run with bf16 operands / f32 accumulation by default on a
+    single-device TPU (``gram_dtype``): they are HBM-bound, so halving
+    operand bytes nearly halves their wall-clock.
+  * with ``crop_box`` set (single-device path), the Grams are evaluated
+    only on a crop_box^2 pixel box around each footprint (footprints are
+    localized — the reference's search-location semantics,
     ``determine_search_location.m``), replacing two (d, T) x (T, K)
     matmuls with gathers + batched small contractions: ~25x fewer FLOPs
     at 256x256, K~200.
@@ -45,6 +45,7 @@ from cnmf_e_tpu.ops.hals import hals_spatial_sweeps, hals_temporal_sweeps
 from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import foopsi_ar1
 from cnmf_e_tpu.ops.ring import RingWeights, apply_ring
+from cnmf_e_tpu.ops.stats import submedian_mean
 
 
 class StepState(NamedTuple):
@@ -60,11 +61,13 @@ class StepState(NamedTuple):
 
 
 class BgProjection(NamedTuple):
-    """Output of ``make_bg_projection``: the implicit-background movie
-    projection plus (on the MXU path) the precomputed band tensor, both
-    constant between background refreshes."""
-    P: jnp.ndarray                   # (T, H, W)
-    bands: Optional[jnp.ndarray]     # (H, D*W, W) bf16, or None
+    """Output of ``make_bg_projection``: the background-subtracted movie
+    Ysig = Y - B with B frozen at projection time (the reference's
+    A_prev/C_prev snapshot semantics). ``bands`` is retained for API
+    compatibility and is always None — the iterations no longer run any
+    ring stencil."""
+    P: jnp.ndarray                   # (T, H, W) — Ysig
+    bands: Optional[jnp.ndarray]     # always None
 
 
 def _box_indices(A: jnp.ndarray, H: int, W: int, box: int):
@@ -95,26 +98,43 @@ def _mxu_ok(mesh, W: int, mxu: Optional[bool]) -> bool:
             and jax.default_backend() in ("tpu", "axon"))
 
 
+def _gram_dtype_ok(mesh, gram_dtype: Optional[str]) -> bool:
+    """bf16 P-movie eligibility. The two movie-sized HALS Grams are
+    HBM-bound (measured ~5x off the bandwidth floor at f32); storing the
+    background projection in bfloat16 halves their operand traffic and
+    quadruples the MXU rate, with f32 accumulation. P is a centered
+    fluctuation movie (no large-DC cancellation), so bf16 inputs cost
+    ~0.4% relative error on the Grams — well inside HALS's iterative
+    tolerance (see test_step.py::test_bf16_grams_match_f32)."""
+    if gram_dtype is not None:
+        return gram_dtype == "bfloat16"
+    return mesh is None and jax.default_backend() in ("tpu", "axon")
+
+
 def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
-                       radius: int, mxu: Optional[bool] = None):
+                       radius: int, mxu: Optional[bool] = None,
+                       gram_dtype: Optional[str] = None):
     """Build the jitted background projection
-    ``proj(Y, state) -> (Pmov, bands)``.
+    ``proj(Y, state) -> BgProjection``.
 
-    Pmov = (Y - b0) - W(Y - b0) - w0 is the movie passed through the
-    implicit-background operator. It depends only on Y, b0 and the ring
-    weights — all of which are constant BETWEEN background updates (the
-    reference likewise snapshots A_prev/C_prev at the bg stage and holds
-    B fixed through the following spatial/temporal updates,
-    ``update_background_parallel.m:311-317``) — so a pipeline computes it
-    once per background refresh and amortizes the movie-sized stencil over
-    every HALS iteration in between (see ``make_hals_iteration``).
+    Emits the background-subtracted movie ``Ysig = Y - B`` with
+    B = W(Y - b0 - A C) + w0 + b0 FROZEN at the state passed in — exactly
+    the reference's semantics: ``update_background_parallel.m:311-317``
+    snapshots (A_prev, C_prev) at the background stage and every following
+    spatial/temporal update subtracts that fixed B
+    (``update_spatial_parallel.m:157-188``). A pipeline therefore computes
+    the projection once per background refresh and amortizes the
+    movie-sized stencil + reconstruction matmul over every HALS iteration
+    in between (see ``make_hals_iteration``) — the iterations themselves
+    touch no ring machinery at all.
 
-    ``bands`` is the precomputed MXU band tensor
-    (ops/pallas_ring_mxu.py) for the same refresh interval, reused by the
-    per-iteration GA stencil; None when the MXU path is off (mesh given,
-    unaligned W, or non-TPU backend).
+    ``gram_dtype``: "bfloat16" stores Ysig in bf16 (halves the HBM traffic
+    of every downstream Gram contraction); None = auto (bf16 on
+    single-device TPU, f32 elsewhere); "float32" forces full precision.
     """
     use_mxu = _mxu_ok(mesh, W, mxu)
+    p_dtype = jnp.bfloat16 if _gram_dtype_ok(mesh, gram_dtype) \
+        else jnp.float32
 
     def constraint(x, spec):
         if mesh is None:
@@ -126,19 +146,20 @@ def make_bg_projection(mesh: Optional[Mesh], H: int, W: int, T: int,
         Y = constraint(Y, P("frame", "patch", None))
         weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
         Q = Y - st.b0[None]
-        bands = None
+        X = Q - jnp.einsum("khw,kt->thw", st.A, st.C)     # Y - b0 - AC
         if use_mxu:
-            from cnmf_e_tpu.ops.pallas_ring_mxu import (apply_ring_mxu,
+            from cnmf_e_tpu.ops.pallas_ring_mxu import (apply_ring_mxu_flat,
                                                         ring_dense_bands)
             bands = ring_dense_bands(weights, H, W, radius)
-            WQ = apply_ring_mxu(bands, st.ring_w0, Q, H, W, radius)
+            WX = apply_ring_mxu_flat(bands, st.ring_w0, X, H, W, radius)
         elif mesh is None:
             from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
-            WQ = ring_apply_auto(weights, Q, H, W, radius)   # W(Q) + w0
+            WX = ring_apply_auto(weights, X, H, W, radius)   # W(X) + w0
         else:
-            WQ = apply_ring(weights, Q, H, W, radius)
-        Pmov = constraint(Q - WQ, P("frame", "patch", None))  # (T, H, W)
-        return BgProjection(P=Pmov, bands=bands)
+            WX = apply_ring(weights, X, H, W, radius)
+        Ysig = constraint((Q - WX).astype(p_dtype),
+                          P("frame", "patch", None))         # (T, H, W)
+        return BgProjection(P=Ysig, bands=None)
 
     return jax.jit(proj)
 
@@ -159,11 +180,14 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
     program size, so pipelines that run a block of iterations per
     background refresh should fuse the block into a single dispatch.
 
-    Takes the precomputed background projection ``Pmov`` and (optionally)
-    the MXU band tensor from ``make_bg_projection``; only the K-footprint
-    stencil GA = W(a_k) (~K/T the cost of the movie stencil) is recomputed
-    per iteration. All shapes static; K must divide the 'patch' axis size
-    when a mesh is given (pad K_max accordingly).
+    Takes the frozen background-subtracted movie Ysig from
+    ``make_bg_projection`` — B stays fixed across the chained iterations
+    exactly as the reference holds its A_prev/C_prev background snapshot
+    fixed between background updates (``update_background_parallel.m:
+    311-317``). The iteration body is then pure HALS + deconvolution: two
+    movie-sized Gram contractions and K-sized solver work, no ring
+    stencil. All shapes static; K must divide the 'patch' axis size when
+    a mesh is given (pad K_max accordingly).
 
     ``crop_box``: evaluate the HALS Grams on a crop_box^2 box around each
     footprint peak and constrain footprints to it (search-location
@@ -180,49 +204,36 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def one_iteration(Pmov, bands, st: StepState) -> StepState:
-        Pmov = constraint(Pmov, P("frame", "patch", None))
+    def one_iteration(Ysig, st: StepState) -> StepState:
+        Ysig = constraint(Ysig, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
         K = A.shape[0]
 
-        # Ysig = Y - B = Pmov + GA @ C,  GA[k] = W(a_k)
-        weights = RingWeights(w=st.ring_w, w0=st.ring_w0)
-        if bands is not None and mxu is not False:
-            from cnmf_e_tpu.ops.pallas_ring_mxu import apply_ring_mxu
-            GA = apply_ring_mxu(bands, jnp.zeros_like(st.ring_w0),
-                                A, H, W, radius)             # (K, H, W)
-        elif mesh is None:
-            from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
-            GA = ring_apply_auto(weights, A, H, W, radius,
-                                 include_intercept=False)    # (K, H, W)
-        else:
-            GA = apply_ring(weights, A, H, W, radius,
-                            include_intercept=False)         # (K, H, W)
-
-        Pd = Pmov.reshape(T, d).T                            # (d, T)
+        Pd = Ysig.reshape(T, d).T                            # (d, T)
         Ad = A.reshape(K, d).T                               # (d, K)
-        GAd = GA.reshape(K, d).T                             # (d, K)
 
         # ---- spatial HALS ------------------------------------------------ #
+        # U = Ysig_c @ Cc^T: the movie mean-term vanishes against the
+        # centered Cc (HALS_spatial.m:28-32), so no centering pass on Ysig
         Cmean = jnp.mean(C, axis=1, keepdims=True)
         Cc = C - Cmean                                       # (K, T)
         V = Cc @ Cc.T                                        # (K, K)
 
         if crop_box is None:
-            U = Pd @ Cc.T + GAd @ V                          # (d, K)
+            U = jnp.einsum("dt,kt->dk", Pd, Cc.astype(Pd.dtype),
+                           preferred_element_type=jnp.float32)
             mask = None
         else:
             box = crop_box
             idx, y0, x0 = _box_indices(A, H, W, box)         # (K, B)
             Pg = jnp.take(Pd, idx, axis=0)                   # (K, B, T)
-            U_box = jnp.einsum("kbt,kt->kb", Pg, Cc,
+            U_box = jnp.einsum("kbt,kt->kb", Pg, Cc.astype(Pd.dtype),
                                preferred_element_type=jnp.float32)
             rows = idx.reshape(-1)
             cols = jnp.repeat(jnp.arange(K), box * box)
-            U = jnp.zeros((d, K), Pd.dtype).at[rows, cols].set(
+            U = jnp.zeros((d, K), jnp.float32).at[rows, cols].set(
                 U_box.reshape(-1))
-            U = U + GAd @ V
             yy = jnp.arange(H)[:, None]
             xx = jnp.arange(W)[None, :]
             in_box = ((yy[None] >= y0[:, None, None]) &
@@ -238,22 +249,19 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
 
         # ---- temporal HALS ----------------------------------------------- #
         Vt = Ad_new.T @ Ad_new                               # (K, K)
-        GtA = Ad_new.T @ GAd                                 # (K, K)
         if crop_box is None:
-            Ut = Ad_new.T @ Pd + GtA @ C                     # (K, T)
+            Ut = jnp.einsum("dk,dt->kt", Ad_new.astype(Pd.dtype), Pd,
+                            preferred_element_type=jnp.float32)
         else:
             # A_new is zero outside the boxes, so the box dot is exact
             Ag = Ad_new[idx, jnp.arange(K)[:, None]]         # (K, B)
-            Ut = jnp.einsum("kb,kbt->kt", Ag, Pg,
-                            preferred_element_type=jnp.float32) + GtA @ C
+            Ut = jnp.einsum("kb,kbt->kt", Ag.astype(Pd.dtype), Pg,
+                            preferred_element_type=jnp.float32)
         C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals)
 
-        # baseline: mean of sub-median samples (HALS_temporal.m:79)
-        med = jnp.median(C_raw, axis=-1, keepdims=True)
-        below = C_raw < med
-        base = jnp.sum(jnp.where(below, C_raw, 0.0), axis=-1) / \
-            jnp.maximum(jnp.sum(below, axis=-1), 1)
-        C_raw = C_raw - base[:, None]
+        # baseline: mean of sub-median samples (HALS_temporal.m:79);
+        # bisection median — jnp.median's sort costs as much as the Grams
+        C_raw = C_raw - submedian_mean(C_raw, axis=-1)[:, None]
 
         # ---- deconvolution: reshard K over 'patch' --------------------- #
         C_dec_in = constraint(C_raw, P("patch", None))
@@ -267,14 +275,13 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                          g=st.g, b0=st.b0, ring_w=st.ring_w,
                          ring_w0=st.ring_w0)
 
-    def iterate(Pmov, st: StepState) -> StepState:
-        bands = None
-        if isinstance(Pmov, (BgProjection, tuple)):
-            Pmov, bands = Pmov
+    def iterate(Ysig, st: StepState) -> StepState:
+        if isinstance(Ysig, (BgProjection, tuple)):
+            Ysig = Ysig[0]
         if chain == 1:
-            return one_iteration(Pmov, bands, st)
+            return one_iteration(Ysig, st)
         return jax.lax.fori_loop(
-            0, chain, lambda _, s: one_iteration(Pmov, bands, s), st)
+            0, chain, lambda _, s: one_iteration(Ysig, s), st)
 
     # NOTE: no donate_argnums — buffer donation triggers pathological
     # recompiles/serialization on the axon-tunneled TPU platform
@@ -286,19 +293,21 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      deconv: Optional[DeconvParams] = None,
                      smin: float = -3.0,
                      crop_box: Optional[int] = None,
-                     mxu: Optional[bool] = None):
-    """Build the fused jitted update step ``step(Y, state) -> state``
-    (background projection + HALS iteration in one program).
-
-    Convenience/compat entry: pipelines that run several HALS iterations
-    per background refresh should use ``make_bg_projection`` +
-    ``make_hals_iteration`` instead so the movie-sized stencil is paid
-    once per refresh, not once per iteration.
-    """
-    proj = make_bg_projection(mesh, H, W, T, radius, mxu=mxu)
+                     mxu: Optional[bool] = None,
+                     gram_dtype: Optional[str] = None,
+                     chain: int = 1):
+    """Build the fused jitted update step ``step(Y, state) -> state``:
+    one background refresh (projection) + ``chain`` HALS iterations
+    against the frozen background, all in ONE program — one ~29 ms tunnel
+    dispatch per refresh block instead of two, with the movie-sized
+    projection amortized over the chain (the reference's structure:
+    ``update_background_parallel`` once, then spatial/temporal sweeps
+    against the fixed B, ``demo_large_data_1p.m:199-213``)."""
+    proj = make_bg_projection(mesh, H, W, T, radius, mxu=mxu,
+                              gram_dtype=gram_dtype)
     iterate = make_hals_iteration(mesh, H, W, T, radius, n_hals=n_hals,
                                   deconv=deconv, smin=smin,
-                                  crop_box=crop_box, mxu=mxu)
+                                  crop_box=crop_box, mxu=mxu, chain=chain)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:
         return iterate(proj(Y, st), st)

@@ -168,14 +168,35 @@ def simulate_movie_store(out_dir: str, seed: int = 0, H: int = 512,
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    A, centers = gaussian_footprints(rng, K, H, W, gSig, min_dist=min_dist)
-    K = A.shape[0]
-    A = A.astype(np.float32)
-    # per-neuron bounding boxes for sparse pasting
+    # sparse footprints: the gaussian is evaluated only inside a 2-sigma
+    # box per neuron (a full-FOV exp per neuron is the synthesis
+    # bottleneck at K=2000, H=W=512)
+    margin = 6
+    centers = []
+    tries = 0
+    while len(centers) < K and tries < 50 * K:
+        tries += 1
+        c = np.array([rng.uniform(margin, H - margin),
+                      rng.uniform(margin, W - margin)])
+        if min_dist > 0 and centers:
+            if np.min(np.linalg.norm(np.array(centers) - c,
+                                     axis=1)) < min_dist:
+                continue
+        centers.append(c)
+    centers = np.array(centers[:K])
+    K = len(centers)
+    A = np.zeros((K, H, W), np.float32)
     boxes = []
-    for k in range(K):
-        ys, xs = np.nonzero(A[k])
-        boxes.append((ys.min(), ys.max() + 1, xs.min(), xs.max() + 1))
+    for k, (cy, cx) in enumerate(centers):
+        sig = gSig * rng.uniform(0.8, 1.2)
+        half = int(np.ceil(2.0 * sig))
+        y0, y1 = max(int(cy) - half, 0), min(int(cy) + half + 1, H)
+        x0, x1 = max(int(cx) - half, 0), min(int(cx) + half + 1, W)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2))
+        blob[blob < np.exp(-2.0)] = 0.0
+        A[k, y0:y1, x0:x1] = blob
+        boxes.append((y0, y1, x0, x1))
 
     b0 = (baseline * (0.5 + smooth_field(rng, H, W, scale=max(H, W) / 2))
           ).astype(np.float32)
@@ -192,18 +213,22 @@ def simulate_movie_store(out_dir: str, seed: int = 0, H: int = 512,
     t_global = 0
     for b in range(n_blocks):
         Tb = min(frames_per_block, T - b * frames_per_block)
-        S_blk = (rng.random((K, Tb)) < spike_rate) * (
-            0.5 + rng.random((K, Tb)))
+        S_blk = ((rng.random((K, Tb)) < spike_rate) * (
+            0.5 + rng.random((K, Tb)))).astype(np.float32)
         C_blk = np.empty((K, Tb), np.float32)
+        d_noise = rng.standard_normal((2, Tb), dtype=np.float32)
         drives = np.empty((2, Tb), np.float32)
         for t in range(Tb):
             c_carry = c_carry * g + S_blk[:, t]
             C_blk[:, t] = c_carry
-            d_carry = d_carry * bg_g + bg_scale * rng.standard_normal(
-                2).astype(np.float32)
+            d_carry = d_carry * bg_g + bg_scale * d_noise[:, t]
             drives[:, t] = d_carry
-        Y = (drives.T @ profs).reshape(Tb, H, W)
-        Y += b0[None]
+        # rank-1 adds beat a k=2 GEMM here (BLAS is pathological on the
+        # (Tb, 2) @ (2, d) shape)
+        Y = np.broadcast_to(b0[None], (Tb, H, W)).copy()
+        Yf = Y.reshape(Tb, H * W)
+        for i in range(2):
+            Yf += np.outer(drives[i], profs[i])
         for k in range(K):
             y0, y1, x0, x1 = boxes[k]
             Y[:, y0:y1, x0:x1] += C_blk[k][:, None, None] * \
@@ -212,7 +237,7 @@ def simulate_movie_store(out_dir: str, seed: int = 0, H: int = 512,
         for t0 in range(0, Tb, rows):
             t1 = min(t0 + rows, Tb)
             Y[t0:t1] += sn * rng.standard_normal(
-                (t1 - t0, H, W)).astype(np.float32)
+                (t1 - t0, H, W), dtype=np.float32)
         np.save(os.path.join(out_dir, f"block_{b:05d}.npy"),
                 Y.astype(dtype))
         first = (-t_global) % 25

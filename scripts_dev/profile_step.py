@@ -98,17 +98,11 @@ def main():
 
     t_grams = timeit(grams2, Pd, Ad, Cj, chain_div=CH)
 
-    from cnmf_e_tpu.ops.pallas_ring_mxu import apply_ring_mxu
-
     @jax.jit
-    def stencil(A_, bands, w0):
-        def body(i, A3):
-            GA = apply_ring_mxu(bands, w0, A3, H, W, radius)
-            return A3 + 1e-12 * GA
-        return jax.lax.fori_loop(0, CH, body, A_)
+    def tiny(x):
+        return x + 1.0
 
-    t_stencil = timeit(stencil, st.A, pm.bands,
-                       jnp.zeros_like(st.ring_w0), chain_div=CH)
+    t_disp = timeit(tiny, jnp.zeros((8,), jnp.float32))
 
     U0 = np.abs(rng.standard_normal((d, K))).astype(np.float32)
     V0 = np.eye(K, dtype=np.float32) * 5 + 0.1
@@ -152,11 +146,11 @@ def main():
                                   chain=CH)
     t_full = timeit(lambda p, s: iterate(p, s), pm, st, chain_div=CH)
 
-    tot = t_grams + t_stencil + t_hals + t_median + t_deconv
+    tot = t_grams + t_hals + t_median + t_deconv
     print(f"dtype for P-grams: {gdt.__name__}")
+    print(f"dispatch floor        : {t_disp*1e3:8.2f} ms (subtract from every row; /CH for per-iter rows)")
     print(f"proj (per bg refresh) : {t_proj*1e3:8.2f} ms")
     print(f"grams  (per iter)     : {t_grams*1e3:8.2f} ms")
-    print(f"stencil(per iter)     : {t_stencil*1e3:8.2f} ms")
     print(f"hals   (per iter)     : {t_hals*1e3:8.2f} ms")
     print(f"median (per iter)     : {t_median*1e3:8.2f} ms")
     print(f"deconv (per iter)     : {t_deconv*1e3:8.2f} ms")

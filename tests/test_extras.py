@@ -88,3 +88,26 @@ def test_order_neurons_keys():
         order = np.asarray(order_neurons(st, key))
         assert set(order[:3].tolist()) == {0, 1, 2}
         assert order[3] == 3  # inactive slot last
+
+
+def test_fast_median_matches_order_statistic(rng):
+    """fast_median converges to the lower-middle order statistic."""
+    import jax.numpy as jnp
+    from cnmf_e_tpu.ops.stats import fast_median
+    for shape, ax in [((19, 201), -1), ((16, 200), -1), ((60, 7, 5), 0)]:
+        x = (rng.standard_normal(shape) * rng.uniform(0.1, 50)
+             ).astype(np.float32)
+        got = np.asarray(fast_median(jnp.asarray(x), axis=ax))
+        k = (shape[ax] + 1) // 2 - 1
+        ref = np.sort(x, axis=ax).take(k, axis=ax)
+        assert np.abs(got - ref).max() < 1e-4 * (np.abs(ref).max() + 1)
+
+
+def test_submedian_mean_matches_numpy(rng):
+    import jax.numpy as jnp
+    from cnmf_e_tpu.ops.stats import submedian_mean
+    x = (rng.standard_normal((12, 301)) * 3 + 1).astype(np.float32)
+    med = np.sort(x, -1)[:, 150]
+    ref = np.array([x[i][x[i] < med[i]].mean() for i in range(12)])
+    got = np.asarray(submedian_mean(jnp.asarray(x)))
+    assert np.abs(got - ref).max() < 5e-3 * (np.abs(ref).max() + 1)
