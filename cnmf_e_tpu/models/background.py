@@ -34,13 +34,16 @@ def update_background(Y: jnp.ndarray, state: CNMFEState, params: CNMFEParams,
             ssub=bp.ssub)
         return state.replace(W=weights, b0=b0)
     if bp.model == "local":
-        # event-masked ring regression on the raw movie — no (A, C)
-        # needed (reference: endoscope/local_background.m via updateBG;
-        # used by the in-memory demo_endoscope path before a neuron
-        # model exists)
+        # event-masked ring regression (reference:
+        # endoscope/local_background.m via updateBG). Before a neuron
+        # model exists it runs on the raw movie; once neurons are fitted
+        # the reference passes Ybg = Y - A*C (Sources2D.m:1717-1733
+        # localBG) so neuron transients the event mask misses cannot
+        # bias the ring weights.
         from cnmf_e_tpu.ops.ring import local_background
+        Ybg = Y - jnp.einsum("khw,kt->thw", A, C)
         _, weights, b0 = local_background(
-            Y, radius=bp.ring_radius, sn=sn_pix, ssub=bp.ssub,
+            Ybg, radius=bp.ring_radius, sn=sn_pix, ssub=bp.ssub,
             ridge_eps=bp.ridge_eps)
         return state.replace(W=weights, b0=b0)
     b, f, b0 = fit_lowrank_model(Y, A, C, rank=bp.rank, mode=bp.model)
@@ -59,10 +62,28 @@ def background_of(Y: jnp.ndarray, state: CNMFEState,
             state.W, Y, state.masked_A(), state.masked_C(), state.b0,
             radius=bp.ring_radius, ssub=bp.ssub)
     if bp.model == "local":
-        from cnmf_e_tpu.ops.ring import local_background
-        Yest, _, _ = local_background(Y, radius=bp.ring_radius,
-                                      ssub=bp.ssub, ridge_eps=bp.ridge_eps)
-        return Yest
+        # reconstruct from the weights update_background stored (no
+        # refit per call — a full local_background here would pay a
+        # second ring regression + a separate compile on the tunneled
+        # TPU). B = W(Ybg - mean(Ybg) + 1) + b0 with Ybg = Y - A C,
+        # mirroring local_background.m:148-150's DC restoration.
+        if state.W is None:
+            return jnp.broadcast_to(state.b0[None], Y.shape)
+        from cnmf_e_tpu.ops.ring import apply_ring, _ssub_geometry
+        T, H, W = Y.shape
+        Ybg = Y - jnp.einsum("khw,kt->thw", state.masked_A(),
+                             state.masked_C())
+        Yc = Ybg - jnp.mean(Ybg, axis=0)[None] + 1.0
+        Hs, Ws, radius_s = _ssub_geometry(H, W, bp.ring_radius, bp.ssub)
+        if bp.ssub > 1:
+            from cnmf_e_tpu.ops.filters import box_downsample
+            Bs = apply_ring(state.W, box_downsample(Yc, ssub=bp.ssub),
+                            Hs, Ws, radius_s, include_intercept=False)
+            Yest = jax.image.resize(Bs, (T, H, W), method="linear")
+        else:
+            Yest = apply_ring(state.W, Yc, H, W, bp.ring_radius,
+                              include_intercept=False)
+        return Yest + state.b0[None]
     if state.b is None:
         return jnp.broadcast_to(state.b0[None], Y.shape)
     return jnp.einsum("rhw,rt->thw", state.b, state.f) + state.b0[None]

@@ -130,36 +130,43 @@ def extract_ac_batch(HY: jnp.ndarray, Y: jnp.ndarray, rows: jnp.ndarray,
     return ExtractResult(a=a, c_raw=c_raw, ok=ok, sn=sn)
 
 
-def _local_maxima_topk(v: jnp.ndarray, window: int, n: int, vmin: float,
+def _local_maxima_topk(v: jnp.ndarray, n: int, vmin: float,
                        nms_dist: int) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                jnp.ndarray]:
-    """Top-n local maxima of v (H, W) with greedy distance-NMS.
+    """Top-n local maxima of v (H, W), pairwise > nms_dist apart.
 
-    Returns (rows, cols, valid). The reference marks searched pixels and
-    re-runs an order-filter per peel (greedyROI_endoscope.m:211-268); here
-    one max-filter + top-k + NMS picks a whole conflict-free round.
+    The reference marks searched pixels and re-runs an order-filter per
+    peel (greedyROI_endoscope.m:211-268). Here ONE separable max-filter of
+    half-width ``nms_dist`` implements exact non-max suppression without
+    any sequential loop: a pixel survives iff it is THE maximum within
+    +-nms_dist, so two survivors closer than nms_dist are impossible
+    except for exact float ties (the greedy-NMS ``fori_loop`` this
+    replaces cost ~0.6 s/round on TPU — n sequential scalar steps).
+    Ties are broken by dropping the lower-ranked member of any close pair
+    (a vectorized O(n^2) pass over the n selected seeds).
     """
     H, W = v.shape
+    w = 2 * nms_dist + 1
     vmax = jax.lax.reduce_window(
-        v, -jnp.inf, jax.lax.max, (window, window), (1, 1),
-        [(window // 2, window // 2), (window // 2, window // 2)])
+        v, -jnp.inf, jax.lax.max, (w, 1), (1, 1),
+        [(nms_dist, nms_dist), (0, 0)])
+    vmax = jax.lax.reduce_window(
+        vmax, -jnp.inf, jax.lax.max, (1, w), (1, 1),
+        [(0, 0), (nms_dist, nms_dist)])
     is_max = (v >= vmax) & (v > vmin)
     score = jnp.where(is_max, v, -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(score, n)
     rows, cols = idx // W, idx % W
     valid = vals > -jnp.inf
 
-    # greedy NMS: keep a seed only if farther than nms_dist from every
-    # higher-ranked kept seed
-    def body(i, keep):
-        dr = rows - rows[i]
-        dc = cols - cols[i]
-        close = (dr * dr + dc * dc) < nms_dist * nms_dist
-        conflict = jnp.any(close & keep & (jnp.arange(n) < i))
-        return keep.at[i].set(keep[i] & ~conflict)
-
-    keep = jax.lax.fori_loop(0, n, body, valid)
-    return rows, cols, keep
+    # tie cleanup: survivors are window-maxima, so any two within nms_dist
+    # must be exact ties — keep the higher-ranked one
+    dr = rows[:, None] - rows[None, :]
+    dc = cols[:, None] - cols[None, :]
+    close = (dr * dr + dc * dc) < nms_dist * nms_dist
+    lower = jnp.arange(n)[:, None] > jnp.arange(n)[None, :]
+    conflict = jnp.any(close & lower & valid[None, :], axis=1)
+    return rows, cols, valid & ~conflict
 
 
 def _weak_signal_test(HY: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
@@ -252,29 +259,33 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
 
     import numpy as _np
     n_found = int(_np.asarray(state.active).sum())
-    seeds_log = []
-    window = max(3, gSiz // 2) | 1
     deconv_cfg = (params.temporal.deconv
                   if ip.deconv_at_init and params.temporal.deconv.enabled
                   else None)
     round_fn = _make_init_round(
-        ip.gSig, ip.center_psf, gSiz, window, ip.seeds_per_round,
+        ip.gSig, ip.center_psf, gSiz, ip.seeds_per_round,
         max(ip.min_pixel, 5), ip.corr_pixel_thr, deconv_cfg, gSiz)
 
+    # Host-driven rounds: one dispatch + one tiny (N, 4) fetch each. With
+    # the max-filter NMS a round takes a whole conflict-free seed batch,
+    # so typical movies finish in 2-4 rounds and the ~29 ms dispatch floor
+    # stays negligible. (Fusing ALL rounds into one early-exit while_loop
+    # program was tried and reverted: past a size threshold the XLA:CPU
+    # compiler segfaults on the fused body — see CLAUDE.md test-gate note.)
+    seeds_log = []
     for rnd in range(ip.max_rounds):
         state, Y_work, HY, searched, report = round_fn(
             state, HY, Y_work, Ysig, searched, jnp.int32(n_found),
             jnp.float32(min_corr), jnp.float32(min_pnr))
-        # ONE small host fetch per round: (N, 4) int32 [row, col, take, valid]
         rep = _np.asarray(report)
         taken = _np.nonzero(rep[:, 2])[0]
-        n_take = len(taken)
         n_valid = int(rep[:, 3].sum())
         for i in taken:
             seeds_log.append((rnd, int(rep[i, 0]), int(rep[i, 1])))
-        n_found += n_take
+        n_found += len(taken)
         if verbose:
-            print(f"init round {rnd}: +{n_take} neurons (total {n_found})")
+            print(f"init round {rnd}: +{len(taken)} neurons "
+                  f"(total {n_found})")
         if n_valid == 0 or n_found >= K_max:
             break
 
@@ -286,32 +297,45 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_init_round(gSig: float, center_psf: bool, gSiz: int, window: int,
+def _make_init_round(gSig: float, center_psf: bool, gSiz: int,
                      n_seeds: int, min_pixel: int, corr_thr: float,
-                     deconv, nms_dist: int, trace_mode: str = "corr_mean"):
+                     deconv, nms_dist: int,
+                     trace_mode: str = "corr_mean"):
     """Build the fused one-round init program (compiled once per config).
 
     One full greedy-init round as a single jitted program with static
     shapes: seed search -> extraction -> deconvolution -> masked slot
-    acceptance -> peel -> refilter. ``n_found``/``min_corr``/``min_pnr``
-    are traced scalars so successive rounds (and the residual pick with
-    relaxed thresholds, ``initComponents_residual_parallel.m``) all hit the
-    same compiled program. The psf stays a concrete numpy closure constant
-    (the MXU filter path precomputes band matrices from it).
+    acceptance -> peel -> incremental band-pass refresh.
 
-    The returned function maps (state, HY, Y_work, Ysig, searched, n_found,
-    min_corr, min_pnr) -> (state, Y_work, HY, searched, report) with report
-    an (n_seeds, 4) int32 array [row, col, taken, valid] — the only thing
-    the host loop fetches.
+    The band-passed movie is refreshed INCREMENTALLY: peeling subtracts
+    the rank-N update sum_i filter(a_i) (x) (c_i - median(c_i)) from HY
+    instead of re-filtering the whole movie (the reference refreshes HY
+    locally around each peeled neuron, ``greedyROI_endoscope.m:375-407``;
+    a full refilter + fresh per-pixel median costs ~0.9 s/round on TPU,
+    the filtered-footprint update ~10 ms). The median correction uses
+    median(c_i) because the per-pixel median of the subtracted component
+    sum_i f_i[p] c_i[t] factorizes that way for the sparse, non-negative
+    traces being peeled.
+
+    ``n_found``/``min_corr``/``min_pnr`` are traced scalars so every
+    round (and the residual pick with relaxed thresholds,
+    ``initComponents_residual_parallel.m``) hits the same compiled
+    program. The psf stays a concrete numpy closure constant (the MXU
+    filter path precomputes band matrices from it).
+
+    The returned function maps (state, HY, Y_work, Ysig, searched,
+    n_found, min_corr, min_pnr) -> (state, Y_work, HY, searched, report)
+    with report (n_seeds, 4) int32 [row, col, taken, valid] — the only
+    thing the host loop fetches.
     """
     psf = gaussian_psf(gSig, center_psf)
 
-    def round_fn(state: CNMFEState, HY, Y_work, Ysig, searched, n_found,
-                 min_corr, min_pnr):
+    def one_round(state: CNMFEState, HY, Y_work, Ysig, searched, n_found,
+                  min_corr, min_pnr):
         K_max = state.K_max
         _, _, v = _search_image(HY, Ysig, searched, min_corr, min_pnr)
         rows, cols, valid = _local_maxima_topk(
-            v, window, n_seeds, min_corr * min_pnr, nms_dist=nms_dist)
+            v, n_seeds, min_corr * min_pnr, nms_dist=nms_dist)
         valid = valid & _weak_signal_test(HY, rows, cols)
 
         res = extract_ac_batch(HY, Y_work, rows, cols, gSiz,
@@ -348,19 +372,20 @@ def _make_init_round(gSig: float, center_psf: bool, gSiz: int, window: int,
             neuron_sn=state.neuron_sn.at[slots].set(res.sn, mode="drop"),
             active=state.active.at[slots].set(True, mode="drop"))
 
-        # peel all accepted components at once, then refilter
+        # peel all accepted components at once; refresh the band-passed
+        # movie with the filtered footprints (rank-N update, no refilter)
         c_eff = jnp.where(take[:, None], c_use, 0.0)
         Y_new = Y_work - jnp.einsum("khw,kt->thw", full_A, c_eff)
-        HY_new = jax.lax.cond(jnp.any(take),
-                              lambda: refilter(Y_new, psf),
-                              lambda: HY)
+        fA = filter_movie(full_A, psf)
+        c_med = jnp.where(take, fast_median(c_eff, axis=-1), 0.0)
+        HY_new = HY - jnp.einsum("khw,kt->thw", fA, c_eff - c_med[:, None])
 
         searched2 = _mark_searched(searched2, rows, cols, valid)
         report = jnp.stack([rows, cols, take.astype(rows.dtype),
                             valid.astype(rows.dtype)], axis=1)
         return state, Y_new, HY_new, searched2, report
 
-    return jax.jit(round_fn)
+    return jax.jit(one_round)
 
 
 @functools.partial(jax.jit, static_argnames=("gSiz",))

@@ -169,21 +169,17 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             Ysig = _ring_subtract(Yb, A, C_blk, state.b0, weights,
                                   radius, H, W)
             U = U + Ysig.reshape(Yb.shape[0], -1).T @ C_blk.T
-        # hals on accumulated Grams: emulate by passing a surrogate Y
-        # with the same (U, V): use the normal-equations update directly
+        # HALS sweeps on the accumulated Grams — the same blocked
+        # Gauss-Seidel program every in-memory spatial update runs
+        # (ops/hals.py). A bespoke per-neuron fori_loop here compiled a
+        # second, much larger XLA program that (run at the tail of the
+        # full CPU test suite) reproducibly segfaulted the XLA:CPU
+        # compiler; reusing the shared kernel removed both the crash and
+        # the duplicate compile.
+        from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
         V = C @ C.T
-        cc = jnp.diag(V)
         Ad = A.reshape(K_cap, -1).T
-
-        def neuron_update(k, Ad):
-            ak = Ad[:, k] + (U[:, k] - Ad @ V[:, k]) / \
-                jnp.maximum(cc[k], 1e-12)
-            ak = jnp.maximum(ak, 0.0)
-            ak = jnp.where(cc[k] > 0, ak, Ad[:, k])
-            return Ad.at[:, k].set(ak)
-
-        for _ in range(params.spatial.n_iter):
-            Ad = jax.lax.fori_loop(0, K_cap, neuron_update, Ad)
+        Ad = hals_spatial_sweeps(U, V, Ad, n_iter=params.spatial.n_iter)
         state = state.replace(
             A=Ad.T.reshape(K_cap, H, W) * state.active[:, None, None])
         log(f"iter {it}: spatial")

@@ -198,6 +198,13 @@ def _mcmc_block(chain: _Chain, key, y, sn, mu_amp, p_spike,
         resid = resid - db[:, None]
 
         # ---- time-constant MH (random walk on decay rates) -------------- #
+        # The multiplicative log-space walk (tau_p = tau * exp(eps)) is a
+        # symmetric proposal in log-tau, so accepting on the bare
+        # likelihood ratio implies a flat prior on log(tau) (log-uniform
+        # on tau) — stated here explicitly. Proposals that would cross
+        # the support bounds are REJECTED rather than clipped: clipping
+        # would concentrate proposal mass on the boundary and break the
+        # q(tau'|tau) = q(tau|tau') symmetry the bare ratio relies on.
         if sample_g:
             if g.shape[-1] == 1:
                 # log-tau random walk: tau = -1/log(g)
@@ -205,13 +212,19 @@ def _mcmc_block(chain: _Chain, key, y, sn, mu_amp, p_spike,
                 tau = -1.0 / jnp.log(g0)
                 tau_p = tau * jnp.exp(
                     0.05 * jax.random.normal(ks[8], (N,)))
+                in_bounds = tau_p >= 0.2
                 g_prop = jnp.exp(-1.0 / jnp.maximum(tau_p, 0.2))[:, None]
             else:
                 from cnmf_e_tpu.ops.ar import ar2exp, exp2ar
                 d, r = ar2exp(g)
                 eps = 0.05 * jax.random.normal(ks[8], (N, 2))
-                d_p = jnp.clip(d * jnp.exp(eps[:, 0]), 1e-3, 1 - 1e-4)
-                r_p = jnp.clip(r * jnp.exp(eps[:, 1]), 1e-4, 1 - 1e-4)
+                d_raw = d * jnp.exp(eps[:, 0])
+                r_raw = r * jnp.exp(eps[:, 1])
+                in_bounds = ((d_raw >= 1e-3) & (d_raw <= 1 - 1e-4)
+                             & (r_raw >= 1e-4) & (r_raw <= 1 - 1e-4)
+                             & (r_raw <= d_raw * (1 - 1e-3)))
+                d_p = jnp.clip(d_raw, 1e-3, 1 - 1e-4)
+                r_p = jnp.clip(r_raw, 1e-4, 1 - 1e-4)
                 r_p = jnp.minimum(r_p, d_p * (1 - 1e-3))
                 g_prop = exp2ar(d_p, r_p)
             h_prop = ar_kernel(g_prop, L).astype(y.dtype)
@@ -220,7 +233,7 @@ def _mcmc_block(chain: _Chain, key, y, sn, mu_amp, p_spike,
                 jnp.sum(resid_prop * resid_prop, axis=-1)
                 - jnp.sum(resid * resid, axis=-1))
             logu_g = jnp.log(jax.random.uniform(ks[9], (N,)) + 1e-12)
-            take_g = logu_g < dll_g
+            take_g = (logu_g < dll_g) & in_bounds
             g = jnp.where(take_g[:, None], g_prop, g)
             h = jnp.where(take_g[:, None], h_prop, h)
             resid = jnp.where(take_g[:, None], resid_prop, resid)
@@ -256,14 +269,19 @@ def _init_chain(y, g, sn, kernel_len):
 
 def _geweke_z(counts):
     """Split-mean z-score on the (n, N) spike-count trace: first half vs
-    second half of the post-burn samples (|z| < 2 ~= converged)."""
+    second half of the post-burn samples (|z| < 2 ~= converged).
+
+    Computed HOST-SIDE in numpy: the count history is tiny, and its length
+    grows every adaptive block — a jnp version would compile a fresh
+    program per block shape (minutes each on the tunneled TPU)."""
+    import numpy as np
+    counts = np.asarray(counts, np.float32)
     n = counts.shape[0]
-    a, b = counts[: n // 2].astype(jnp.float32), \
-        counts[n // 2:].astype(jnp.float32)
-    va = jnp.var(a, axis=0) / a.shape[0]
-    vb = jnp.var(b, axis=0) / b.shape[0]
-    return (jnp.mean(a, axis=0) - jnp.mean(b, axis=0)) / \
-        jnp.sqrt(jnp.maximum(va + vb, 1e-12))
+    a, b = counts[: n // 2], counts[n // 2:]
+    va = np.var(a, axis=0) / a.shape[0]
+    vb = np.var(b, axis=0) / b.shape[0]
+    return (np.mean(a, axis=0) - np.mean(b, axis=0)) / \
+        np.sqrt(np.maximum(va + vb, 1e-12))
 
 
 def _finalize(y, chain, sums, counts, n_samples):
@@ -339,10 +357,10 @@ def mcmc_spikes_adaptive(y: jnp.ndarray, g: jnp.ndarray, sn: jnp.ndarray,
                                            sample_g=sample_g)
         sums = bsums if sums is None else tuple(
             a + b for a, b in zip(sums, bsums))
-        all_counts.append(counts)
+        all_counts.append(np.asarray(counts))
         n_samples += block
-        z = _geweke_z(jnp.concatenate(all_counts, axis=0))
-        if float(np.max(np.abs(np.asarray(z)))) < z_thresh:
+        z = _geweke_z(np.concatenate(all_counts, axis=0))
+        if float(np.max(np.abs(z))) < z_thresh:
             break
-    return _finalize(y, chain, sums, jnp.concatenate(all_counts, axis=0),
-                     n_samples)
+    return _finalize(y, chain, sums,
+                     np.concatenate(all_counts, axis=0), n_samples)

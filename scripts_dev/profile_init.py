@@ -1,12 +1,16 @@
 """Per-substage timing of one initialize_greedy round on the real TPU.
 
-Mirrors the body of models/initialize.py::initialize_greedy round-by-round
-with a StageTimer around every jitted program, to find where the ~25 s/round
-goes.
+Decomposes the CURRENT fused round (models/initialize.py::_make_init_round)
+into its jitted sub-programs and times each with forced completion, to find
+where the per-round wall time goes (VERDICT r2 weak #2: init + residual
+pick = 60% of the end-to-end pipeline).
+
+Each substage is dispatched separately here (so the sum overcounts the
+fused round by ~29 ms per extra dispatch), but relative weights identify
+the dominant compute.
 """
 
 import sys
-import time
 
 from cnmf_e_tpu.utils.cache import enable_compilation_cache
 
@@ -23,12 +27,14 @@ def main():
     from cnmf_e_tpu.utils.simulate import simulate_movie
     from cnmf_e_tpu.config import CNMFEParams
     from cnmf_e_tpu.models.initialize import (
-        _local_maxima_topk, _mark_searched, _peel, _place_footprints,
+        _local_maxima_topk, _mark_searched, _place_footprints_masked,
         _search_image, _weak_signal_test, extract_ac_batch, refilter)
     from cnmf_e_tpu.models.state import empty_state
     from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf
+    from cnmf_e_tpu.ops.corr import correlation_image
     from cnmf_e_tpu.ops.noise import noise_psd
     from cnmf_e_tpu.ops.oasis import deconvolve
+    from cnmf_e_tpu.ops.stats import fast_median
     from cnmf_e_tpu.utils.profiling import StageTimer
 
     gt = simulate_movie(seed=7, H=H, W=W, T=T, K=100, gSig=3.0, sn=0.08,
@@ -36,38 +42,43 @@ def main():
     p = CNMFEParams.preset_1p()
     ip = p.init
     gSiz = int(ip.gSiz)
+    n_seeds = 32
     psf = gaussian_psf(ip.gSig, ip.center_psf)
     tm = StageTimer()
 
     Y_work = jnp.asarray(gt.Y)
+    state = empty_state(ip.max_neurons, H, W, T)
+    searched = jnp.zeros((H, W), bool)
+    Ysig = None
     for rnd_i in range(3):
         rnd = f"r{rnd_i}:"
         ref = []
         with tm.stage(rnd + "filter_movie", ref):
             HY = filter_movie(Y_work, psf)
             ref.append(HY)
-        with tm.stage(rnd + "median_sub", ref):
-            HY = HY - jnp.median(HY, axis=0, keepdims=True)
+        with tm.stage(rnd + "fast_median_sub", ref):
+            HY = HY - fast_median(HY, axis=0, keepdims=True)
             ref.append(HY)
-        if rnd_i == 0:
+        if Ysig is None:
             with tm.stage(rnd + "noise_psd(HY)", ref):
                 Ysig = noise_psd(jnp.moveaxis(HY, 0, -1))
                 ref.append(Ysig)
-        searched = jnp.zeros((H, W), bool)
         with tm.stage(rnd + "search_image", ref):
-            cn, pnr, v = _search_image(HY, Ysig, searched, ip.min_corr,
-                                       ip.min_pnr)
+            cn, pnr, v = _search_image(HY, Ysig, searched,
+                                       ip.min_corr, ip.min_pnr)
             ref.append(v)
+        with tm.stage(rnd + "corr_image_only", ref):
+            cn2 = correlation_image(
+                jnp.where(HY >= 3.0 * Ysig[None], HY, 0.0), center=False)
+            ref.append(cn2)
         with tm.stage(rnd + "local_maxima", ref):
             rows, cols, valid = _local_maxima_topk(
-                v, max(3, gSiz // 2) | 1, ip.seeds_per_round,
+                v, max(3, gSiz // 2) | 1, n_seeds,
                 ip.min_corr * ip.min_pnr, nms_dist=gSiz)
             ref.append(rows)
         with tm.stage(rnd + "weak_signal", ref):
             valid = valid & _weak_signal_test(HY, rows, cols)
             ref.append(valid)
-        with tm.stage(rnd + "host_any", None):
-            bool(jnp.any(valid))
         with tm.stage(rnd + "extract_ac", ref):
             res = extract_ac_batch(HY, Y_work, rows, cols, gSiz,
                                    min_pixel=max(ip.min_pixel, 5),
@@ -77,24 +88,23 @@ def main():
             dres = deconvolve(res.c_raw, p.temporal.deconv, sn=res.sn)
             ref.append(dres.c)
         ok = res.ok & valid
-        with tm.stage(rnd + "host_nonzero", None):
-            n_ok = int(jnp.sum(ok))
-            order = np.nonzero(np.asarray(ok))[0][:n_ok]
-        sel = jnp.asarray(order)
-        slot = jnp.arange(0, len(order))
-        st = empty_state(ip.max_neurons, H, W, T)
+        rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        slot = rank
+        take = ok & (slot < state.K_max)
+        slots = jnp.where(take, slot, state.K_max)
         with tm.stage(rnd + "place_footprints", ref):
-            A_new, searched = _place_footprints(
-                st.A, searched, res.a[sel], rows[sel], cols[sel], slot, gSiz)
+            A_new, searched, full_A = _place_footprints_masked(
+                state.A, searched, res.a, rows, cols, slots, take, gSiz)
             ref.append(A_new)
-        with tm.stage(rnd + "peel", ref):
-            Y_work = _peel(Y_work, res.a[sel], dres.c[sel],
-                           rows[sel], cols[sel], gSiz)
+        with tm.stage(rnd + "peel_einsum", ref):
+            c_eff = jnp.where(take[:, None], dres.c, 0.0)
+            Y_work = Y_work - jnp.einsum("khw,kt->thw", full_A, c_eff)
             ref.append(Y_work)
         with tm.stage(rnd + "mark_searched", ref):
             searched = _mark_searched(searched, rows, cols, valid)
             ref.append(searched)
-        print(f"round {rnd_i} done: {len(order)} seeds", flush=True)
+        print(f"round {rnd_i}: {int(np.asarray(take).sum())} taken",
+              flush=True)
 
     print(tm.report(), flush=True)
 

@@ -44,3 +44,24 @@ def test_mxu_ring_matches_xla_interpret(rng):
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out0) / scale,
                                np.asarray(ref0) / scale, atol=2e-2)
+
+
+def test_mxu_ring_flat_matches_xla_interpret(rng):
+    """apply_ring_mxu_flat (the production TPU movie-pass kernel used by
+    make_bg_projection) must match the XLA form up to bf16 tap precision —
+    interpret-mode equivalence so the suite catches regressions (ADVICE r2)."""
+    from cnmf_e_tpu.ops.pallas_ring_mxu import (ring_dense_bands,
+                                                apply_ring_mxu_flat)
+    H, W, T, radius = 16, 128, 24, 4
+    R = ring_offsets(radius).shape[0]
+    X = jnp.asarray(rng.standard_normal((T, H, W)), jnp.float32)
+    w = RingWeights(
+        w=jnp.asarray(rng.standard_normal((H * W, R)).astype(np.float32)
+                      * 0.1 + 0.05),
+        w0=jnp.asarray(rng.standard_normal(H * W).astype(np.float32)))
+    bands = ring_dense_bands(w, H, W, radius)
+    ref = apply_ring(w, X, H, W, radius)
+    out = apply_ring_mxu_flat(bands, w.w0, X, H, W, radius, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
