@@ -37,7 +37,54 @@ def force(x):
     return float(jnp.sum(jnp.abs(leaves[0]).astype(jnp.float32)))
 
 
+def measure_peaks():
+    """Empirical chip ceilings for the roofline: sustained HBM stream
+    rate (GB/s) and bf16 matmul rate (GFLOP/s), measured with the same
+    dispatch/sync discipline as the bench itself."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 1024, 1024)), jnp.float32)
+
+    @jax.jit
+    def stream(x):
+        return x * 1.0001 + 0.5
+
+    force(stream(x))
+    t0 = time.perf_counter()
+    force(stream(x))
+    dt = time.perf_counter() - t0
+    bytes_moved = 2 * x.size * 4                       # read + write
+    hbm_gbps = bytes_moved / dt / 1e9
+
+    a = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return jax.lax.dot(a, a, preferred_element_type=jnp.float32)
+
+    force(mm(a))
+    t0 = time.perf_counter()
+    force(mm(a))
+    dt = time.perf_counter() - t0
+    mxu_gflops = 2 * 8192**3 / dt / 1e9
+    return hbm_gbps, mxu_gflops
+
+
 def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
+    """Chained model-update iteration variants + roofline accounting.
+
+    Returns (variants dict name->Mpf/s, roofline dict). Variants:
+      * ``deconv_every_1``  — every chained iteration deconvolves (the
+        r1/r2 headline semantics)
+      * ``deconv_every_5``  — HEADLINE: deconvolution every 5th iteration
+        (the reference runs several HALS sweeps per deconvolution —
+        ``HALS_temporal.m`` maxIter sweeps then one ``deconvTemporal``,
+        ``update_temporal_parallel.m:282-287``)
+      * ``deconv_every_10`` — single deconvolution per 10-chain
+      * ``crop_box_64``     — deconv_every_5 + Grams evaluated on 64^2
+        boxes around each footprint (search-location semantics)
+    """
     import jax.numpy as jnp
     from cnmf_e_tpu.ops.ring import ring_offsets
     from cnmf_e_tpu.parallel.step import StepState, make_update_step
@@ -65,24 +112,52 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         ring_w0=jnp.zeros((H * W,), jnp.float32),
     )
 
-    step = make_update_step(None, H, W, T, radius=radius, n_hals=1,
-                            chain=n_iter)
+    configs = {
+        "deconv_every_1": dict(chain=n_iter),
+        "deconv_every_5": dict(chain=n_iter, deconv_every=5),
+        "deconv_every_10": dict(chain=n_iter, deconv_every=n_iter),
+        "crop_box_64": dict(chain=n_iter, deconv_every=5, crop_box=64),
+    }
+    variants = {}
+    for name, kw in configs.items():
+        step = make_update_step(None, H, W, T, radius=radius, n_hals=1,
+                                **kw)
+        # warmup/compile, then time one refresh block — background
+        # projection + n_iter chained iterations, ONE program / ONE
+        # ~29 ms dispatch, ONE final sync. The projection is charged
+        # amortized: the reference likewise refreshes B once per outer
+        # pass (update_background_parallel.m:311-317).
+        out = step(Y, st)
+        force(out.C)
+        t0 = time.perf_counter()
+        out = step(Y, out)
+        force(out.C)
+        dt = (time.perf_counter() - t0) / n_iter
+        variants[name] = H * W * T / dt / 1e6      # Mpixel-frames/s/chip
 
-    # warmup/compile
-    out = step(Y, st)
-    force(out.C)
-
-    # time one refresh block — background projection + n_iter HALS
-    # iterations against the frozen B, all ONE program / ONE ~29 ms
-    # tunnel dispatch — with ONE final sync. The projection is charged
-    # amortized: the reference likewise refreshes B once per outer pass
-    # and runs its spatial/temporal sweeps against the snapshot
-    # (update_background_parallel.m:311-317, demo_large_data_1p.m:199-213).
-    t0 = time.perf_counter()
-    out = step(Y, out)
-    force(out.C)
-    dt = (time.perf_counter() - t0) / n_iter
-    return H * W * T / dt / 1e6          # Mpixel-frames/s/chip
+    # ---- roofline: what one dense-path iteration MUST move/compute ---- #
+    d = H * W
+    gram_flops = 2 * (2 * d * T * K + K * K * T + K * K * d)  # U,Ut,V,Vt
+    # Ysig (bf16) read once per Gram + A/C/C_raw traffic (f32)
+    bytes_moved = 2 * (d * T * 2) + 4 * (3 * d * K + 4 * K * T)
+    hbm_gbps, mxu_gflops = measure_peaks()
+    hbm_floor_ms = bytes_moved / (hbm_gbps * 1e9) * 1e3
+    mxu_floor_ms = gram_flops / (mxu_gflops * 1e9) * 1e3
+    floor_ms = max(hbm_floor_ms, mxu_floor_ms)
+    roofline = {
+        "gram_gflops_per_iter": round(gram_flops / 1e9, 1),
+        "bytes_moved_gb_per_iter": round(bytes_moved / 1e9, 3),
+        "measured_hbm_gbps": round(hbm_gbps, 0),
+        "measured_mxu_gflops": round(mxu_gflops, 0),
+        "hbm_floor_ms": round(hbm_floor_ms, 3),
+        "mxu_floor_ms": round(mxu_floor_ms, 3),
+    }
+    for name, mpfs in variants.items():
+        iter_ms = H * W * T / (mpfs * 1e6) * 1e3
+        roofline[f"iter_ms_{name}"] = round(iter_ms, 2)
+    roofline["pct_of_floor_headline"] = round(
+        100.0 * floor_ms / roofline["iter_ms_deconv_every_5"], 1)
+    return variants, roofline
 
 
 def bench_pipeline(H=256, W=256, T=2000, K_true=120):
@@ -101,7 +176,7 @@ def bench_pipeline(H=256, W=256, T=2000, K_true=120):
                         spike_rate=0.02)
     params = CNMFEParams.preset_1p()
     params = params.replace(init=dataclasses.replace(
-        params.init, max_neurons=192, seeds_per_round=32, max_rounds=10))
+        params.init, max_neurons=192, seeds_per_round=64, max_rounds=10))
     Y = jnp.asarray(gt.Y)
 
     # warmup: compile every stage program (persistent compilation cache
@@ -126,10 +201,11 @@ def main():
     from cnmf_e_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    hals = bench_hals()
+    variants, roofline = bench_hals()
+    hals = variants["deconv_every_5"]
     pipe, pipe_s, n = bench_pipeline()
     baseline = 256 * 256 * 2000 / 10.0 / 1e6  # reference 2p demo estimate
-    print(json.dumps({
+    out = {
         "metric": "hals_iter_throughput",
         "value": round(hals, 2),
         "unit": "Mpixel-frames/s/chip",
@@ -138,7 +214,11 @@ def main():
         "pipeline_seconds": round(pipe_s, 2),
         "pipeline_vs_baseline": round(pipe / baseline, 2),
         "pipeline_neurons": n,
-    }))
+    }
+    for name, v in variants.items():
+        out[f"hals_{name}"] = round(v, 2)
+    out.update(roofline)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ from cnmf_e_tpu.models.state import CNMFEState, compact, empty_state
 from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf
 from cnmf_e_tpu.ops.hals import hals_temporal
 from cnmf_e_tpu.ops.lowrank import nmf_hals
-from cnmf_e_tpu.ops.noise import noise_psd
+from cnmf_e_tpu.ops.noise import noise_psd, noise_psd_frames
 from cnmf_e_tpu.ops.oasis import deconvolve
 
 
@@ -83,7 +83,7 @@ def preprocess_data(Y: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
     """NaN interpolation + saturation mask + per-pixel noise (P struct)."""
     Y = interp_missing_data(Y)
     unsat = find_unsaturated_pixels(Y)
-    sn = noise_psd(jnp.moveaxis(Y, 0, -1))
+    sn = noise_psd_frames(Y)
     return Y, {"sn_pix": sn, "unsaturated": unsat}
 
 

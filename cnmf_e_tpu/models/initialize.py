@@ -37,7 +37,8 @@ from cnmf_e_tpu.ops.corr import correlation_image
 from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf
 from cnmf_e_tpu.ops.morphology import (circular_constraint,
                                        connectivity_constraint)
-from cnmf_e_tpu.ops.noise import estimate_baseline_noise, noise_psd
+from cnmf_e_tpu.ops.noise import (estimate_baseline_noise, noise_psd,
+                                  noise_psd_frames)
 from cnmf_e_tpu.ops.oasis import deconvolve
 from cnmf_e_tpu.models.state import CNMFEState, empty_state
 from cnmf_e_tpu.ops.stats import fast_median
@@ -246,9 +247,7 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
             detrend(jnp.moveaxis(Y_work, 0, -1), ip.nk, ip.detrend_method),
             -1, 0)
 
-    HY = filter_movie(Y_work, psf)
-    HY = HY - fast_median(HY, axis=0, keepdims=True)
-    Ysig = noise_psd(jnp.moveaxis(HY, 0, -1))
+    HY, Ysig = _init_prolog(Y_work, ip.gSig, ip.center_psf)
 
     searched = jnp.zeros((H, W), bool)
     if ip.bd > 0:
@@ -437,3 +436,17 @@ def _mark_searched(searched, rows, cols, valid):
 def refilter(Y: jnp.ndarray, psf: np.ndarray) -> jnp.ndarray:
     HY = filter_movie(Y, psf)
     return HY - fast_median(HY, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("gSig", "center_psf"))
+def _init_prolog(Y_work: jnp.ndarray, gSig: float, center_psf: bool):
+    """Band-pass + median-center + per-pixel noise in ONE program.
+
+    Run eagerly these are ~50 separate ops — on the tunneled TPU runtime
+    every eager op pays the ~29 ms dispatch floor, which made the init
+    prolog alone cost >1 s."""
+    psf = gaussian_psf(gSig, center_psf)
+    HY = filter_movie(Y_work, psf)
+    HY = HY - fast_median(HY, axis=0, keepdims=True)
+    Ysig = noise_psd_frames(HY)
+    return HY, Ysig

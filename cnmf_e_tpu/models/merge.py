@@ -49,10 +49,11 @@ def decay_times(state: CNMFEState) -> np.ndarray:
 
 @jax.jit
 def _merge_stats(state: CNMFEState):
-    """All pairwise merge statistics in one program: center distance,
-    corr(C), cosine(A), corr(C_raw), corr(S or thresholded diff C_raw).
-    Returns five (K, K) float32 arrays — the only device->host traffic a
-    merge pass needs."""
+    """All pairwise merge statistics in one program, stacked into a
+    single (9, K, K) float32 array — the ONLY device->host fetch a merge
+    pass needs (rows: dist, corr_C, cos_A, corr_Craw, corr_S, energy,
+    active, g1, g2 — the last four broadcast per-neuron vectors; g2 is
+    zero for AR(1) states)."""
     K = state.K_max
     A3 = state.masked_A()
     H, W = A3.shape[1:]
@@ -82,7 +83,21 @@ def _merge_stats(state: CNMFEState):
     corr_S = jax.lax.cond(jnp.any(state.S != 0),
                           lambda: corr_rows(state.S),
                           lambda: corr_rows(Sdiff))
-    return dist, corr_C, cos_A, corr_Craw, corr_S
+    # per-neuron energy rides along (broadcast into a K x K row) so the
+    # host fetches ONE stacked array — separate np.asarray fetches each
+    # pay a full tunnel round trip on the axon runtime
+    energy = (jnp.sum(state.A * state.A, axis=(1, 2))
+              * jnp.sum(state.C_raw * state.C_raw, axis=1))
+    g1 = state.g[:, 0].astype(jnp.float32)
+    g2 = (state.g[:, 1].astype(jnp.float32) if state.g.shape[1] > 1
+          else jnp.zeros((K,), jnp.float32))
+    return jnp.stack([
+        dist, corr_C, cos_A, corr_Craw, corr_S,
+        jnp.broadcast_to(energy[None, :], (K, K)),
+        jnp.broadcast_to(state.active[None, :].astype(jnp.float32),
+                         (K, K)),
+        jnp.broadcast_to(g1[None, :], (K, K)),
+        jnp.broadcast_to(g2[None, :], (K, K))])
 
 
 def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams,
@@ -91,13 +106,16 @@ def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams,
     (``merge_neurons_dist_corr.m:54-82``), with the optional decay-time
     gate (``:74-81``: skip pairs whose decay constants differ by more than
     ``max_decay_diff`` frames)."""
-    dist, corr_C, _, _, _ = stats or _merge_stats(state)
-    dist = np.asarray(dist)
-    cc = np.asarray(corr_C)
-    active = np.asarray(state.active)
+    st = np.asarray(stats if stats is not None else _merge_stats(state))
+    dist, cc, active = st[0], st[1], st[6][0] > 0
     adj = (dist <= params.merge.dmin) & (cc >= params.merge.merge_thr)
     if params.merge.max_decay_diff is not None:
-        tau = decay_times(state)
+        # decay gate from the fetched g rows (same dominant-root formula
+        # as decay_times, but without a second device fetch of state.g)
+        g1, g2 = st[7][0], st[8][0]
+        d = (g1 + np.sqrt(np.maximum(g1 * g1 + 4 * g2, 0.0))) / 2.0
+        d = np.clip(d, 1e-4, 1 - 1e-6)
+        tau = -1.0 / np.log(d)
         adj &= (np.abs(tau[:, None] - tau[None, :])
                 <= params.merge.max_decay_diff)
     adj &= np.outer(active, active)
@@ -110,16 +128,16 @@ def merge_candidates_high_corr(state: CNMFEState, params: CNMFEParams,
     """Adjacency for the (A overlap, C corr, S corr) triple threshold
     (``merge_high_corr.m:50-83`` / ``quickMerge.m:34-60``)."""
     a_thr, c_thr, s_thr = params.merge.merge_thr_spatial
-    _, _, cos_A, corr_Craw, corr_S = stats or _merge_stats(state)
-    active = np.asarray(state.active)
+    st = np.asarray(stats if stats is not None else _merge_stats(state))
+    cos_A, corr_Craw, corr_S, active = st[2], st[3], st[4], st[6][0] > 0
     K = len(active)
     adj = np.ones((K, K), bool)
     if a_thr > 0:
-        adj &= np.asarray(cos_A) >= a_thr
+        adj &= cos_A >= a_thr
     if c_thr > 0:
-        adj &= np.asarray(corr_Craw) >= c_thr
+        adj &= corr_Craw >= c_thr
     if s_thr > 0:
-        adj &= np.asarray(corr_S) >= s_thr
+        adj &= corr_S >= s_thr
     adj &= np.outer(active, active)
     np.fill_diagonal(adj, False)
     return adj
@@ -130,16 +148,16 @@ def merge_candidates_dist_only(state: CNMFEState, params: CNMFEParams,
     """Distance-only adjacency (reference ``merge_close_neighbors.m`` /
     ``MergeNeighbors.m`` with dmin_only): any two active neurons whose
     centers are within ``dmin_only`` merge unconditionally."""
-    dist, _, _, _, _ = stats or _merge_stats(state)
-    active = np.asarray(state.active)
-    adj = np.asarray(dist) <= params.merge.dmin_only
+    st = np.asarray(stats if stats is not None else _merge_stats(state))
+    dist, active = st[0], st[6][0] > 0
+    adj = dist <= params.merge.dmin_only
     adj &= np.outer(active, active)
     np.fill_diagonal(adj, False)
     return adj
 
 
 def merge_pairs(state: CNMFEState, params: CNMFEParams,
-                pairs) -> Tuple[CNMFEState, int]:
+                pairs, deconv: bool = True) -> Tuple[CNMFEState, int]:
     """Manually merge the given (i, j) index pairs (reference:
     ``manual_merge`` / ``manual_merge_multi_pairs``) — the automated
     framework's replacement for the interactive flows."""
@@ -147,25 +165,33 @@ def merge_pairs(state: CNMFEState, params: CNMFEParams,
     adj = np.zeros((K, K), bool)
     for i, j in pairs:
         adj[i, j] = adj[j, i] = True
-    return _merge_with_adjacency(state, params, adj)
+    return _merge_with_adjacency(state, params, adj, deconv=deconv)
 
 
 def merge_neurons(state: CNMFEState, params: CNMFEParams,
-                  mode: str = "dist_corr") -> Tuple[CNMFEState, int]:
+                  mode: str = "dist_corr",
+                  deconv: bool = True) -> Tuple[CNMFEState, int]:
     """Cluster candidates and merge each cluster by rank-1 refit.
 
     Returns (new_state, n_merged_clusters). The merged component lands in
     the slot of the cluster's highest-energy member; other members
     deactivate (fixed-capacity slot semantics).
+
+    ``deconv=False`` skips the post-merge re-deconvolution (the reference
+    re-deconvolves merged traces, ``merge_neurons_dist_corr.m:193-200``;
+    a pipeline whose very next stage is a full temporal update — which
+    re-deconvolves every trace anyway — can defer it and save the
+    (K_max, T) OASIS pass + a dispatch per merge call).
     """
-    stats = _merge_stats(state)
+    stats = np.asarray(_merge_stats(state))   # ONE device->host fetch
     if mode == "dist_corr":
         adj = merge_candidates_dist_corr(state, params, stats)
     elif mode == "dist_only":
         adj = merge_candidates_dist_only(state, params, stats)
     else:
         adj = merge_candidates_high_corr(state, params, stats)
-    return _merge_with_adjacency(state, params, adj)
+    return _merge_with_adjacency(state, params, adj, stats=stats,
+                                 deconv=deconv)
 
 
 @functools.partial(jax.jit, static_argnames=("refit_iters",))
@@ -233,16 +259,15 @@ def _deconv_writeback(state: CNMFEState, merged_mask, c, s, b, g):
 
 
 def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
-                          adj: np.ndarray) -> Tuple[CNMFEState, int]:
+                          adj: np.ndarray, stats=None,
+                          deconv: bool = True) -> Tuple[CNMFEState, int]:
     if not adj.any():
         return state, 0
 
     labels, ncomp = connected_components(adj)
-    active = np.asarray(state.active)
-    # energy ranking for the surviving slot needs per-neuron norms; derive
-    # them from the adjacency-stage stats-free arrays already on host? No:
-    # one tiny fetch of per-neuron energies
-    energy = np.asarray(_neuron_energy(state))
+    st = np.asarray(stats if stats is not None else _merge_stats(state))
+    active = st[6][0] > 0
+    energy = st[5][0]
 
     K = state.K_max
     Kc = max(K // 2, 1)
@@ -273,7 +298,7 @@ def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
     # re-deconvolve: run the standard (K_max, T) deconvolution program (the
     # same compiled program the temporal update uses) and write back only
     # the merged slots
-    if params.temporal.deconv.enabled:
+    if deconv and params.temporal.deconv.enabled:
         sn = noise_psd(state.C_raw)
         res = deconvolve(state.C_raw, params.temporal.deconv, sn=sn)
         state = _deconv_writeback(state, merged_mask, res.c, res.s, res.b,
@@ -281,9 +306,3 @@ def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
     return state, n_merged
 
 
-@jax.jit
-def _neuron_energy(state: CNMFEState) -> jnp.ndarray:
-    """||a_k||^2 ||c_raw_k||^2 per neuron — the cluster-survivor ranking."""
-    a2 = jnp.sum(state.A * state.A, axis=(1, 2))
-    c2 = jnp.sum(state.C_raw * state.C_raw, axis=1)
-    return a2 * c2

@@ -30,7 +30,7 @@ from cnmf_e_tpu.models.qc import remove_false_positives, tag_neurons
 from cnmf_e_tpu.models.spatial import update_spatial
 from cnmf_e_tpu.models.state import CNMFEState, compact
 from cnmf_e_tpu.models.temporal import update_temporal
-from cnmf_e_tpu.ops.noise import noise_psd
+from cnmf_e_tpu.ops.noise import noise_psd_frames
 
 
 class CNMFE:
@@ -47,7 +47,7 @@ class CNMFE:
         """Per-pixel noise sigma over the first ``noise_frame_cap`` frames
         (reference: ``Sources2D.m:328-379``)."""
         cap = min(self.params.noise_frame_cap, Y.shape[0])
-        return noise_psd(jnp.moveaxis(Y[:cap], 0, -1))
+        return noise_psd_frames(Y[:cap])
 
     # ------------------------------------------------------------------ #
     def fit(self, Y, n_outer: int = 2, verbose: bool = False,
@@ -141,7 +141,9 @@ class CNMFE:
             state = update_spatial(Ysig, state, p)
             ref.append(state)
         with _st("merge"):
-            state, nm = merge_neurons(state, p, "high_corr")
+            # a temporal update follows before C is consumed downstream:
+            # defer re-deconvolution of merged traces to it
+            state, nm = merge_neurons(state, p, "high_corr", deconv=False)
         log(f"spatial + merge(high_corr: {nm}) ({time.time() - t0:.1f}s)")
 
         for it in range(max(n_outer, 1)):
@@ -152,7 +154,8 @@ class CNMFE:
             with _st("qc"):
                 state = remove_false_positives(state, p)
             with _st("merge"):
-                state, nm = merge_neurons(state, p, "dist_corr")
+                state, nm = merge_neurons(state, p, "dist_corr",
+                                          deconv=False)
             # spatial refit inside the loop: the reference demo interleaves
             # spatial with temporal every pass (demo_large_data_1p.m:199-213,
             # holding B fixed between background refreshes as here)
@@ -166,7 +169,7 @@ class CNMFE:
         # fold co-located duplicates (ghosts from the residual pick) into
         # their originals (reference: merge_close_neighbors with dmin_only)
         with _st("merge"):
-            state, nm = merge_neurons(state, p, "dist_only")
+            state, nm = merge_neurons(state, p, "dist_only", deconv=False)
         log(f"merge(dist_only): {nm} clusters")
 
         # final full pass on a refreshed background
@@ -187,8 +190,11 @@ class CNMFE:
         with _st("qc"):
             state = remove_false_positives(state, p)
         with _st("merge"):
-            state, _ = merge_neurons(state, p, "dist_corr")
-            state, _ = merge_neurons(state, p, "high_corr")
+            # if either merge fires, the neuron count drops below k_before
+            # and the conditional spatial+temporal refit below runs — so
+            # deconvolution is safely deferred to it
+            state, _ = merge_neurons(state, p, "dist_corr", deconv=False)
+            state, _ = merge_neurons(state, p, "high_corr", deconv=False)
         log(f"final pass ({time.time() - t0:.1f}s)")
         if int(state.n_active()) != k_before:
             ref = []

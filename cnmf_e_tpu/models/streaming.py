@@ -30,7 +30,7 @@ from cnmf_e_tpu.models.initialize import initialize_greedy
 from cnmf_e_tpu.models.merge import merge_neurons
 from cnmf_e_tpu.models.qc import remove_false_positives, tag_neurons
 from cnmf_e_tpu.models.state import CNMFEState, compact
-from cnmf_e_tpu.ops.noise import noise_psd
+
 from cnmf_e_tpu.ops.oasis import deconvolve
 from cnmf_e_tpu.ops.ring import (apply_ring, fit_ring_weights,
                                  ring_offsets)
@@ -91,8 +91,9 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     sn_pix = store.load_noise()
     if sn_pix is None:
         cap = min(params.noise_frame_cap, T)
-        sn_pix = np.asarray(noise_psd(
-            jnp.moveaxis(jnp.asarray(store.read_frames(0, cap)), 0, -1)))
+        from cnmf_e_tpu.ops.noise import noise_psd_frames
+        sn_pix = np.asarray(noise_psd_frames(
+            jnp.asarray(store.read_frames(0, cap))))
         store.save_noise(sn_pix)
     sn_pix = jnp.asarray(sn_pix)
 

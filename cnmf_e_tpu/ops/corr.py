@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf, neighbor_kernel
-from cnmf_e_tpu.ops.noise import noise_psd
+from cnmf_e_tpu.ops.noise import noise_psd_frames
 from cnmf_e_tpu.ops.stats import fast_median
 
 
@@ -36,20 +36,25 @@ def correlation_image(Y: jnp.ndarray, kernel: Optional[np.ndarray] = None,
     denom = jnp.sqrt(jnp.mean(Y * Y, axis=0, keepdims=True))
     X = Y / jnp.maximum(denom, 1e-12)
 
+    # neighbor sum as weighted spatial shifts: the kernel is a tiny 0/1
+    # stencil, and a single-channel NCHW conv lowers terribly on the TPU
+    # (no channel contraction for the MXU) — shift-adds fuse on the VPU
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
-    rhs = jnp.asarray(kernel[::-1, ::-1].copy())[None, None]
-    Xs = jax.lax.conv_general_dilated(
-        X[:, None], rhs, (1, 1),
-        [(ph, kh - 1 - ph), (pw, kw - 1 - pw)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)[:, 0]
-    count = jax.lax.conv_general_dilated(
-        jnp.ones((1, 1) + Y.shape[1:], jnp.float32), rhs, (1, 1),
-        [(ph, kh - 1 - ph), (pw, kw - 1 - pw)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)[0, 0]
-    return jnp.mean(Xs * X, axis=0) / jnp.maximum(count, 1.0)
+    T, H, W = X.shape
+    Xp = jnp.pad(X, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    Xs = jnp.zeros_like(X)
+    for dy, dx in np.argwhere(kernel != 0):
+        wgt = float(kernel[dy, dx])
+        Xs = Xs + wgt * jax.lax.dynamic_slice(
+            Xp, (0, int(dy), int(dx)), (T, H, W))
+    # in-FOV neighbor count per pixel (host-side: kernel is static)
+    ones = np.zeros((H + kh - 1, W + kw - 1), np.float32)
+    ones[ph:ph + H, pw:pw + W] = 1.0
+    count = np.zeros((H, W), np.float32)
+    for dy, dx in np.argwhere(kernel != 0):
+        count += kernel[dy, dx] * ones[dy:dy + H, dx:dx + W]
+    return jnp.mean(Xs * X, axis=0) / jnp.asarray(np.maximum(count, 1.0))
 
 
 def correlation_pnr(Y: jnp.ndarray, gSig: float = 3.0,
@@ -66,7 +71,7 @@ def correlation_pnr(Y: jnp.ndarray, gSig: float = 3.0,
     psf = gaussian_psf(gSig, center_psf)
     HY = filter_movie(Y, psf)
     HY = HY - fast_median(HY, axis=0, keepdims=True)
-    sn = noise_psd(jnp.moveaxis(HY, 0, -1))          # (H, W)
+    sn = noise_psd_frames(HY)                        # (H, W)
     pnr = jnp.max(HY, axis=0) / jnp.maximum(sn, 1e-12)
     HY_thr = jnp.where(HY >= noise_thresh_sig * sn[None], HY, 0.0)
     cn = correlation_image(HY_thr, center=False)

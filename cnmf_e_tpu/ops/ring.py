@@ -315,7 +315,8 @@ def local_background(Y: jnp.ndarray, radius: int,
         Yc_s, sn_s = Yc, sn
     if sn_s is None:
         from cnmf_e_tpu.ops.noise import noise_psd
-        sn_s = noise_psd(Yc_s.reshape(T, -1).T).reshape(Hs, Ws)
+        from cnmf_e_tpu.ops.noise import noise_psd_frames
+        sn_s = noise_psd_frames(Yc_s)
 
     # ring average via a uniform ring operator (the annulus imfilter,
     # local_background.m:66-70)

@@ -170,7 +170,7 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         smin: float = -3.0,
                         crop_box: Optional[int] = None,
                         mxu: Optional[bool] = None,
-                        chain: int = 1):
+                        chain: int = 1, deconv_every: int = 1):
     """Build the jitted HALS iteration ``iterate(proj_out, state) -> state``
     (``proj_out`` from :func:`make_bg_projection`).
 
@@ -193,6 +193,15 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
     footprint peak and constrain footprints to it (search-location
     semantics). Single-device only — cross-shard gathers would serialize
     the SPMD program.
+
+    ``deconv_every``: deconvolve only every Nth chained iteration (plus
+    always the last). The reference deconvolves once per temporal update
+    (``update_temporal_parallel.m:282-287``); the sequential OASIS scan
+    over T dominates a chained iteration's wall time (>80% — see
+    BENCH roofline), so sweeping several HALS iterations per
+    deconvolution trades a little denoising latency for most of the
+    iteration cost. Skipped iterations carry C = max(C_raw, 0) (the
+    reference's no-deconv thresholding, ``HALS_temporal.m:66-68``).
     """
     if crop_box is not None and mesh is not None:
         raise ValueError("crop_box is a single-device optimization")
@@ -204,7 +213,7 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def one_iteration(Ysig, st: StepState) -> StepState:
+    def one_iteration(Ysig, st: StepState, do_deconv=True) -> StepState:
         Ysig = constraint(Ysig, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
@@ -264,11 +273,22 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         C_raw = C_raw - submedian_mean(C_raw, axis=-1)[:, None]
 
         # ---- deconvolution: reshard K over 'patch' --------------------- #
-        C_dec_in = constraint(C_raw, P("patch", None))
-        sn = noise_psd(C_dec_in)
-        res = foopsi_ar1(C_dec_in, st.g, smin=smin, sn=sn, optimize_b=False)
-        C_new = constraint(res.c, P(None, "frame"))
-        S_new = constraint(res.s, P(None, "frame"))
+        def _deconv(C_raw):
+            C_dec_in = constraint(C_raw, P("patch", None))
+            sn = noise_psd(C_dec_in)
+            res = foopsi_ar1(C_dec_in, st.g, smin=smin, sn=sn,
+                             optimize_b=False)
+            return res.c, res.s
+
+        def _threshold_only(C_raw):
+            return jnp.maximum(C_raw, 0.0), st.S
+
+        if isinstance(do_deconv, bool):
+            c_s = _deconv(C_raw) if do_deconv else _threshold_only(C_raw)
+        else:
+            c_s = jax.lax.cond(do_deconv, _deconv, _threshold_only, C_raw)
+        C_new = constraint(c_s[0], P(None, "frame"))
+        S_new = constraint(c_s[1], P(None, "frame"))
         C_raw_new = constraint(C_raw, P(None, "frame"))
 
         return StepState(A=A_new, C=C_new, C_raw=C_raw_new, S=S_new,
@@ -280,8 +300,15 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
             Ysig = Ysig[0]
         if chain == 1:
             return one_iteration(Ysig, st)
+        if deconv_every <= 1:
+            return jax.lax.fori_loop(
+                0, chain, lambda _, s: one_iteration(Ysig, s), st)
         return jax.lax.fori_loop(
-            0, chain, lambda _, s: one_iteration(Ysig, s), st)
+            0, chain,
+            lambda i, s: one_iteration(
+                Ysig, s, do_deconv=((i + 1) % deconv_every == 0)
+                | (i == chain - 1)),
+            st)
 
     # NOTE: no donate_argnums — buffer donation triggers pathological
     # recompiles/serialization on the axon-tunneled TPU platform
@@ -295,7 +322,7 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      crop_box: Optional[int] = None,
                      mxu: Optional[bool] = None,
                      gram_dtype: Optional[str] = None,
-                     chain: int = 1):
+                     chain: int = 1, deconv_every: int = 1):
     """Build the fused jitted update step ``step(Y, state) -> state``:
     one background refresh (projection) + ``chain`` HALS iterations
     against the frozen background, all in ONE program — one ~29 ms tunnel
@@ -307,7 +334,8 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                               gram_dtype=gram_dtype)
     iterate = make_hals_iteration(mesh, H, W, T, radius, n_hals=n_hals,
                                   deconv=deconv, smin=smin,
-                                  crop_box=crop_box, mxu=mxu, chain=chain)
+                                  crop_box=crop_box, mxu=mxu, chain=chain,
+                                  deconv_every=deconv_every)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:
         return iterate(proj(Y, st), st)

@@ -28,11 +28,11 @@ def main():
     from cnmf_e_tpu.config import CNMFEParams
     from cnmf_e_tpu.models.initialize import (
         _local_maxima_topk, _mark_searched, _place_footprints_masked,
-        _search_image, _weak_signal_test, extract_ac_batch, refilter)
+        _search_image, _weak_signal_test, extract_ac_batch)
     from cnmf_e_tpu.models.state import empty_state
     from cnmf_e_tpu.ops.filters import filter_movie, gaussian_psf
     from cnmf_e_tpu.ops.corr import correlation_image
-    from cnmf_e_tpu.ops.noise import noise_psd
+    from cnmf_e_tpu.ops.noise import noise_psd_frames
     from cnmf_e_tpu.ops.oasis import deconvolve
     from cnmf_e_tpu.ops.stats import fast_median
     from cnmf_e_tpu.utils.profiling import StageTimer
@@ -61,7 +61,7 @@ def main():
             ref.append(HY)
         if Ysig is None:
             with tm.stage(rnd + "noise_psd(HY)", ref):
-                Ysig = noise_psd(jnp.moveaxis(HY, 0, -1))
+                Ysig = noise_psd_frames(HY)
                 ref.append(Ysig)
         with tm.stage(rnd + "search_image", ref):
             cn, pnr, v = _search_image(HY, Ysig, searched,
@@ -73,8 +73,7 @@ def main():
             ref.append(cn2)
         with tm.stage(rnd + "local_maxima", ref):
             rows, cols, valid = _local_maxima_topk(
-                v, max(3, gSiz // 2) | 1, n_seeds,
-                ip.min_corr * ip.min_pnr, nms_dist=gSiz)
+                v, n_seeds, ip.min_corr * ip.min_pnr, nms_dist=gSiz)
             ref.append(rows)
         with tm.stage(rnd + "weak_signal", ref):
             valid = valid & _weak_signal_test(HY, rows, cols)

@@ -46,3 +46,15 @@ def test_estimate_noise_dispatch(rng):
         sn = estimate_noise(y, method)
         assert sn.shape == (3,)
         assert np.all(np.isfinite(np.asarray(sn)))
+
+
+def test_noise_psd_frames_matches_noise_psd(rng):
+    """The band-restricted DFT-matmul form (noise_psd_frames, the movie
+    path) must equal the rfft Welch form exactly."""
+    from cnmf_e_tpu.ops.noise import noise_psd, noise_psd_frames
+    for T, shape in [(2000, (7, 9)), (500, (64,)), (300, (4, 5))]:
+        Y = jnp.asarray(rng.standard_normal((T,) + shape)
+                        .astype(np.float32) * 0.3 + 1.0)
+        a = np.asarray(noise_psd(jnp.moveaxis(Y, 0, -1)))
+        b = np.asarray(noise_psd_frames(Y))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
