@@ -233,11 +233,26 @@ class CNMFEParams:
         return dataclasses.replace(p, **kw) if kw else p
 
     @staticmethod
-    def preset_2p(**kw) -> "CNMFEParams":
-        """Defaults matching demo_large_data_2p.m (2-photon, svd background)."""
+    def preset_2p(deconv: str = "ar1_foopsi", **kw) -> "CNMFEParams":
+        """Defaults matching demo_large_data_2p.m (2-photon, svd background).
+
+        ``deconv`` selects the deconvolution family (BASELINE config 4 =
+        the AR(2) OASIS sweep, ``constrained_oasisAR2.m``):
+          * "ar1_foopsi"       — the demo default (demo_large_data_2p.m:36)
+          * "ar2_constrained"  — AR(2), lambda tuned to RSS = sn^2 T
+          * "ar2_thresholded"  — AR(2), hard smin search
+        """
+        deconv_presets = {
+            "ar1_foopsi": DeconvParams(),
+            "ar2_constrained": DeconvParams(model="ar2",
+                                            method="constrained"),
+            "ar2_thresholded": DeconvParams(model="ar2",
+                                            method="thresholded"),
+        }
         p = CNMFEParams(
             init=InitParams(gSig=0.0, gSiz=13, center_psf=False,
                             min_corr=0.8, min_pnr=8.0),
             background=BackgroundParams(model="svd", rank=3),
+            temporal=TemporalParams(deconv=deconv_presets[deconv]),
         )
         return dataclasses.replace(p, **kw) if kw else p

@@ -216,7 +216,7 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
         K_cap = st_ds.K_max
         A_full = jax.image.resize(st_ds.A, (K_cap, H, W), method="linear")
         C_full = jax.image.resize(st_ds.C_raw, (K_cap, T), method="linear")
-        st = empty_state(K_cap, H, W, T)
+        st = empty_state(K_cap, H, W, T, p=st_ds.g.shape[1])
         st = st.replace(A=A_full, C=jnp.maximum(C_full, 0.0),
                         C_raw=C_full, active=st_ds.active, g=st_ds.g,
                         neuron_sn=st_ds.neuron_sn)
@@ -236,7 +236,9 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
         min_pnr = ip.min_pnr
 
     if state is None:
-        state = empty_state(K_max, H, W, T)
+        # AR order of the trace model decides the g-column capacity
+        p_ar = 2 if params.temporal.deconv.model in ("ar2", "exp2") else 1
+        state = empty_state(K_max, H, W, T, p=p_ar)
     else:
         K_max = state.K_max
     Y_work = jnp.asarray(Y, jnp.float32)
@@ -351,6 +353,10 @@ def _make_init_round(gSig: float, center_psf: bool, gSiz: int,
             s_use = jnp.zeros_like(res.c_raw)
             g_use = jnp.full((res.c_raw.shape[0], 1), 0.9, jnp.float32)
 
+        gp = state.g.shape[1]
+        if g_use.shape[1] < gp:
+            g_use = jnp.pad(g_use, ((0, 0), (0, gp - g_use.shape[1])))
+
         # masked acceptance into fixed slots: rank accepted seeds by index,
         # assign slots past n_found, drop overflow (slot sentinel = K_max
         # is out of bounds for every scatter below -> mode="drop")
@@ -361,7 +367,6 @@ def _make_init_round(gSig: float, center_psf: bool, gSiz: int,
 
         A_new, searched2, full_A = _place_footprints_masked(
             state.A, searched, res.a, rows, cols, slots, take, gSiz)
-        gp = state.g.shape[1]
         state = state.replace(
             A=A_new,
             C=state.C.at[slots].set(c_use, mode="drop"),

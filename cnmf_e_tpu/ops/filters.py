@@ -84,8 +84,11 @@ def _filter_movie_mxu(Y: jnp.ndarray, psf: np.ndarray) -> jnp.ndarray:
         us, vs = _separable_factors(psf[::-1, ::-1])
         Bh = np.stack([_band_matrix(us[:, r], H) for r in range(us.shape[1])])
         Bw = np.stack([_band_matrix(vs[:, r], W) for r in range(vs.shape[1])])
-        _filter_cache[key] = (jnp.asarray(Bh), jnp.asarray(Bw))
-    Bh, Bw = _filter_cache[key]
+        # cache NUMPY, not device arrays: a jnp.asarray created while
+        # tracing a jitted caller is a tracer, and caching it leaks it
+        # into later traces (UnexpectedTracerError)
+        _filter_cache[key] = (Bh, Bw)
+    Bh, Bw = (jnp.asarray(a) for a in _filter_cache[key])
     rank = Bh.shape[0]
     out = None
     for r in range(rank):

@@ -32,6 +32,26 @@ def main():
     f12 = detection_f1(np.asarray(state2.masked_A())[:n2], gt.A)
     print(f"cnmfe-svd: {n2} components, F1={f12['f1']:.3f}")
 
+    print("--- BASELINE config 4: AR(2) constrained OASIS sweep ---")
+    # demo_large_data_2p.m with the constrained_oasisAR2.m deconvolution
+    # family: lambda tuned per trace until RSS = sn^2 T
+    import dataclasses
+    p4 = CNMFEParams.preset_2p("ar2_constrained")
+    p4 = p4.replace(init=dataclasses.replace(
+        p4.init, gSig=4.0, gSiz=12, center_psf=False, max_neurons=48))
+    state3 = CNMFE(p4).fit(gt.Y, n_outer=2, verbose=True)
+    n3 = int(state3.n_active())
+    f13 = detection_f1(np.asarray(state3.masked_A())[:n3], gt.A)
+    T = gt.Y.shape[0]
+    C_raw = np.asarray(state3.C_raw)[:n3]
+    C = np.asarray(state3.C)[:n3]
+    sn = np.asarray(state3.neuron_sn)[:n3]
+    ratio = np.sum((C_raw - C) ** 2, axis=-1) / np.maximum(sn**2 * T,
+                                                           1e-12)
+    print(f"cnmfe-ar2: {n3} components, F1={f13['f1']:.3f}, "
+          f"median RSS/budget={np.median(ratio):.2f} "
+          f"(g columns: {state3.g.shape[1]})")
+
 
 if __name__ == "__main__":
     main()

@@ -162,3 +162,48 @@ def test_streaming_from_simulated_store(tmp_path):
     A_est = np.asarray(state.masked_A())[:n]
     f1 = detection_f1(A_est, np.asarray(gt["A"], np.float32))
     assert f1["recall"] >= 0.7, f1
+
+
+@pytest.mark.slow
+def test_batch1_traces_survive_A_sync(tmp_path):
+    """When later batches add neurons, the A-sync refit must keep batch
+    1's full-pipeline trace quality instead of resetting every batch from
+    a projection (reference keeps per-batch C and re-runs the temporal
+    update, ``initComponents_batch.m:87-113``; VERDICT r2 weak #6)."""
+    from cnmf_e_tpu.models.batch import fit_batches
+    from cnmf_e_tpu.models.pipeline import CNMFE
+    from cnmf_e_tpu.utils.metrics import trace_corr
+    gt = _late_firing_movie()
+    params = CNMFEParams(
+        init=InitParams(gSig=2.5, gSiz=8, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=32, seeds_per_round=16, max_rounds=5),
+        background=BackgroundParams(model="ring", ring_radius=9),
+        merge=MergeParams(dmin=4.0),
+    )
+    T1 = 1000
+    final, per_batch = fit_batches(
+        [gt.Y[:T1], gt.Y[T1:2000], gt.Y[2000:]], params, verbose=True)
+
+    # standalone in-memory fit of batch 1 = the quality bar
+    st_solo = CNMFE(params).fit(jnp.asarray(gt.Y[:T1]))
+    n_solo = int(st_solo.n_active())
+    # later batches must actually have added neurons (the A-sync path
+    # fired): the synced batch-1 state carries more slots than a
+    # standalone batch-1 fit finds
+    assert int(per_batch[0].n_active()) > n_solo
+    f1_solo = detection_f1(np.asarray(st_solo.masked_A())[:n_solo], gt.A)
+    solo_corr = np.median(trace_corr(np.asarray(st_solo.C_raw)[:n_solo],
+                                     gt.C[:, :T1], f1_solo["matches"]))
+
+    # batch-1 traces after the whole batch pipeline (incl. A-sync refit)
+    st_b1 = per_batch[0]
+    act = np.asarray(st_b1.active)
+    A_b1 = np.asarray(st_b1.A)[act]
+    C_b1 = np.asarray(st_b1.C_raw)[act]
+    f1_b1 = detection_f1(A_b1, gt.A)
+    b1_corr = np.median(trace_corr(C_b1, gt.C[:, :T1], f1_b1["matches"]))
+
+    # no degradation vs the in-memory fit (small tolerance for the extra
+    # background refresh the batch path runs)
+    assert b1_corr >= solo_corr - 0.02, (b1_corr, solo_corr)
+    assert b1_corr >= 0.9, b1_corr
