@@ -37,37 +37,44 @@ def force(x):
     return float(jnp.sum(jnp.abs(leaves[0]).astype(jnp.float32)))
 
 
-def measure_peaks():
+def measure_peaks(reps=16):
     """Empirical chip ceilings for the roofline: sustained HBM stream
-    rate (GB/s) and bf16 matmul rate (GFLOP/s), measured with the same
-    dispatch/sync discipline as the bench itself."""
+    rate (GB/s) and bf16 matmul rate (GFLOP/s). ``reps`` passes run
+    INSIDE one program so the ~29 ms tunnel dispatch amortizes away
+    (a single-pass measurement reads as ~20 GB/s on a chip whose real
+    stream rate is hundreds — it times the dispatch, not the HBM)."""
     import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((64, 1024, 1024)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((128, 1024, 1024)), jnp.float32)
 
     @jax.jit
     def stream(x):
-        return x * 1.0001 + 0.5
+        def body(_, x):
+            return x * 1.0001 + 0.5
+        return jax.lax.fori_loop(0, reps, body, x)
 
     force(stream(x))
     t0 = time.perf_counter()
     force(stream(x))
     dt = time.perf_counter() - t0
-    bytes_moved = 2 * x.size * 4                       # read + write
+    bytes_moved = reps * 2 * x.size * 4                # read + write
     hbm_gbps = bytes_moved / dt / 1e9
 
     a = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
 
     @jax.jit
     def mm(a):
-        return jax.lax.dot(a, a, preferred_element_type=jnp.float32)
+        def body(_, a):
+            return jax.lax.dot(a, a, preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16) * 1e-3
+        return jax.lax.fori_loop(0, reps, body, a)
 
     force(mm(a))
     t0 = time.perf_counter()
     force(mm(a))
     dt = time.perf_counter() - t0
-    mxu_gflops = 2 * 8192**3 / dt / 1e9
+    mxu_gflops = reps * 2 * 8192**3 / dt / 1e9
     return hbm_gbps, mxu_gflops
 
 
@@ -82,8 +89,9 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         ``HALS_temporal.m`` maxIter sweeps then one ``deconvTemporal``,
         ``update_temporal_parallel.m:282-287``)
       * ``deconv_every_10`` — single deconvolution per 10-chain
-      * ``crop_box_64``     — deconv_every_5 + Grams evaluated on 64^2
-        boxes around each footprint (search-location semantics)
+    (A crop_box variant — Grams on 64^2 boxes around each footprint —
+    was measured in round 3 at 2,367 Mpf/s vs 12,436 dense: the gathers
+    defeat the MXU. The path was deleted; see parallel/step.py.)
     """
     import jax.numpy as jnp
     from cnmf_e_tpu.ops.ring import ring_offsets
@@ -116,7 +124,6 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         "deconv_every_1": dict(chain=n_iter),
         "deconv_every_5": dict(chain=n_iter, deconv_every=5),
         "deconv_every_10": dict(chain=n_iter, deconv_every=n_iter),
-        "crop_box_64": dict(chain=n_iter, deconv_every=5, crop_box=64),
     }
     variants = {}
     for name, kw in configs.items():

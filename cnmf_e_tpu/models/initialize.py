@@ -6,21 +6,26 @@ pick the best Cn*PNR local maximum, extract (a_i, c_i) from a box around it
 data-dependent loop maps poorly to an accelerator.
 
 TPU re-design (documented deviation, validated by F1/IoU parity rather than
-bitwise identity, SURVEY.md section 7 "hard parts"): peel in ROUNDS. Each
-round takes the top-N *non-conflicting* local maxima of the search image
-(greedy non-max suppression at distance gSiz), extracts all N neurons with a
-vmapped ``extract_ac``, deconvolves them as one batch, subtracts all peeled
-components at once, and refreshes Cn/PNR globally (one conv over the movie —
-cheap on TPU, simpler than the reference's local patch refresh).
+bitwise identity — see ``tests/test_oracle_greedy_init.py`` for the literal
+serial-peel oracle it is held against): peel in ROUNDS. Each round takes
+the top-N local maxima of the search image (exact max-filter non-max
+suppression at distance gSiz — no sequential NMS loop), extracts all N
+neurons with a vmapped ``extract_ac``, deconvolves them as one batch,
+subtracts all peeled components at once, and refreshes the band-passed
+movie INCREMENTALLY with the filtered footprints (a rank-N update — the
+reference refreshes HY locally per peel, ``greedyROI_endoscope.m:375-407``;
+a full movie refilter + fresh per-pixel median costs ~0.9 s/round on TPU).
 
 The whole round — seed search, extraction, deconvolution, masked acceptance
-into fixed neuron slots, peel, refilter — is ONE jitted program with fully
-static shapes (acceptance uses a cumsum-ranked masked scatter rather than
-host-side boolean slicing), so the host loop costs one dispatch plus one
-small fetch per round and the program compiles exactly once regardless of
-how many neurons each round yields. This matters on the tunneled TPU
-runtime, where each dispatch costs ~29 ms and each new program shape costs
-minutes of Mosaic compilation.
+into fixed neuron slots, peel, incremental refresh — is ONE jitted program
+with fully static shapes (acceptance uses a cumsum-ranked masked scatter
+rather than host-side boolean slicing), so the host loop costs one dispatch
+plus one small fetch per round and the program compiles exactly once
+regardless of how many neurons each round yields. (Fusing ALL rounds into
+one while_loop program was tried and reverted — XLA:CPU segfaults past a
+program-size threshold; see CLAUDE.md.) The band-pass + median-center +
+noise prolog is one jitted program as well: on the tunneled TPU runtime
+every eager op pays a ~29 ms dispatch.
 """
 
 from __future__ import annotations
@@ -100,8 +105,11 @@ def extract_ac_batch(HY: jnp.ndarray, Y: jnp.ndarray, rows: jnp.ndarray,
                 jnp.maximum(n_in, 1)
 
         bg_mask = corr < bg_corr_thr
-        y_bg = jnp.nanmedian(jnp.where(bg_mask[None], yy, jnp.nan), axis=1)
-        y_bg = jnp.nan_to_num(y_bg)
+        # masked bisection median (extract_ac.m:37): jnp.nanmedian sorts
+        # every (P,) row — the dominant cost of the whole batched
+        # extraction on TPU
+        from cnmf_e_tpu.ops.stats import fast_median_masked
+        y_bg = fast_median_masked(yy, bg_mask[None], axis=1)
 
         # per-pixel LS on [1, y_bg, ci] (extract_ac.m:54-58)
         X = jnp.stack([jnp.ones_like(ci), y_bg, ci], axis=1)    # (T, 3)
@@ -287,7 +295,11 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
         if verbose:
             print(f"init round {rnd}: +{len(taken)} neurons "
                   f"(total {n_found})")
-        if n_valid == 0 or n_found >= K_max:
+        # stop when nothing was accepted: remaining "valid" seeds are the
+        # weak tail that failed extraction (each round marks them
+        # searched, so letting them drain one batch at a time just burns
+        # ~166 ms/round; the residual pick recovers genuine stragglers)
+        if len(taken) == 0 or n_found >= K_max:
             break
 
     cn, pnr, _ = _search_image(HY, Ysig, jnp.zeros((H, W), bool),

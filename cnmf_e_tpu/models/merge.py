@@ -100,6 +100,53 @@ def _merge_stats(state: CNMFEState):
         jnp.broadcast_to(g2[None, :], (K, K))])
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _merge_adjacency(state: CNMFEState, params: CNMFEParams) -> jnp.ndarray:
+    """All three candidate adjacencies + survivor ranking, ON DEVICE, in
+    one (3, K, K) uint8 fetch (~110 KB at K=192 — fetching the raw f32
+    statistics cost ~150 ms/call over the tunnel).
+
+    Planes: 0 = dist_corr (merge_neurons_dist_corr.m:54-82 incl. the
+    decay gate), 1 = dist_only (merge_close_neighbors.m), 2 = high_corr
+    (merge_high_corr.m:50-83). The always-zero DIAGONALS carry side
+    channels: plane0/plane1 diag = energy-rank low/high byte (the
+    cluster-survivor ordering), plane2 diag = active flag.
+    """
+    mp = params.merge
+    K = state.K_max
+    st = _merge_stats(state)
+    dist, corr_C, cos_A = st[0], st[1], st[2]
+    corr_Craw, corr_S, energy = st[3], st[4], st[5][0]
+    g1, g2 = st[7][0], st[8][0]
+    act2 = jnp.outer(state.active, state.active)
+    off_diag = ~jnp.eye(K, dtype=bool)
+
+    adj_dc = (dist <= mp.dmin) & (corr_C >= mp.merge_thr)
+    if mp.max_decay_diff is not None:
+        d = (g1 + jnp.sqrt(jnp.maximum(g1 * g1 + 4 * g2, 0.0))) / 2.0
+        tau = -1.0 / jnp.log(jnp.clip(d, 1e-4, 1 - 1e-6))
+        adj_dc &= (jnp.abs(tau[:, None] - tau[None, :])
+                   <= mp.max_decay_diff)
+    adj_do = dist <= mp.dmin_only
+    a_thr, c_thr, s_thr = mp.merge_thr_spatial
+    adj_hc = jnp.ones((K, K), bool)
+    if a_thr > 0:
+        adj_hc &= cos_A >= a_thr
+    if c_thr > 0:
+        adj_hc &= corr_Craw >= c_thr
+    if s_thr > 0:
+        adj_hc &= corr_S >= s_thr
+
+    packed = jnp.stack([adj_dc, adj_do, adj_hc]) & (act2 & off_diag)[None]
+    packed = packed.astype(jnp.uint8)
+    rank = jnp.argsort(jnp.argsort(energy)).astype(jnp.uint32)
+    di = jnp.arange(K)
+    packed = packed.at[0, di, di].set((rank & 0xFF).astype(jnp.uint8))
+    packed = packed.at[1, di, di].set((rank >> 8).astype(jnp.uint8))
+    packed = packed.at[2, di, di].set(state.active.astype(jnp.uint8))
+    return packed
+
+
 def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams,
                                stats=None) -> np.ndarray:
     """Adjacency for distance+correlation merging
@@ -259,15 +306,19 @@ def _deconv_writeback(state: CNMFEState, merged_mask, c, s, b, g):
 
 
 def _merge_with_adjacency(state: CNMFEState, params: CNMFEParams,
-                          adj: np.ndarray, stats=None,
+                          adj: np.ndarray, stats=None, rank=None,
+                          active=None,
                           deconv: bool = True) -> Tuple[CNMFEState, int]:
     if not adj.any():
         return state, 0
 
     labels, ncomp = connected_components(adj)
-    st = np.asarray(stats if stats is not None else _merge_stats(state))
-    active = st[6][0] > 0
-    energy = st[5][0]
+    if rank is None or active is None:
+        st = np.asarray(stats if stats is not None
+                        else _merge_stats(state))
+        active = st[6][0] > 0
+        rank = st[5][0]          # raw energy orders the same as its rank
+    energy = rank
 
     K = state.K_max
     Kc = max(K // 2, 1)

@@ -72,8 +72,13 @@ class CNMFE:
             if timer is None:
                 return contextlib.nullcontext()
             return timer.stage(name, ref)
-        # NaN scrubbing at the boundary (greedyROI_endoscope.m:100)
-        Y = jnp.nan_to_num(jnp.asarray(Y, jnp.float32))
+        # NaN scrubbing at the boundary (greedyROI_endoscope.m:100) —
+        # its own timed stage so the async movie pass doesn't get charged
+        # to whatever stage forces completion first
+        ref = []
+        with _st("scrub", ref):
+            Y = jnp.nan_to_num(jnp.asarray(Y, jnp.float32))
+            ref.append(Y)
         _print = self._log(verbose)
         if run_log is not None:
             def log(msg):

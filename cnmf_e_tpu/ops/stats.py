@@ -57,3 +57,35 @@ def submedian_mean(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     s = jnp.sum(jnp.where(below, x, 0.0), axis=axis)
     n = jnp.maximum(jnp.sum(below, axis=axis), 1)
     return s / n
+
+
+def fast_median_masked(x: jnp.ndarray, mask: jnp.ndarray, axis: int = -1,
+                       iters: int = 20) -> jnp.ndarray:
+    """Median of the entries where ``mask`` is True, by value-space
+    bisection (no sort). ``mask`` broadcasts against ``x``; rows with no
+    selected entries return 0. Used where the reference takes a median
+    over a masked pixel subset (``extract_ac.m:37`` background rows) — a
+    ``jnp.nanmedian`` there lowers to a full sort per row, the single
+    most expensive op in batched seed extraction on TPU."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    mask = jnp.broadcast_to(mask, x.shape)
+    n = jnp.sum(mask, axis=axis, keepdims=True)
+    target = (n + 1) // 2
+    big = jnp.max(jnp.abs(x)) + 1.0
+    xm_lo = jnp.where(mask, x, big)
+    xm_hi = jnp.where(mask, x, -big)
+    lo = jnp.min(xm_lo, axis=axis, keepdims=True)
+    hi = jnp.max(xm_hi, axis=axis, keepdims=True)
+    lo = lo - jnp.maximum(1e-6, 1e-6 * jnp.abs(lo))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(mask & (x <= mid), axis=axis, keepdims=True)
+        ge = cnt >= target
+        return (jnp.where(ge, lo, mid), jnp.where(ge, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    out = jnp.where(n > 0, hi, 0.0)
+    return jnp.squeeze(out, axis=axis)

@@ -24,12 +24,12 @@ small; at full-FOV scale the dense contractions dominate):
   * the Grams run with bf16 operands / f32 accumulation by default on a
     single-device TPU (``gram_dtype``): they are HBM-bound, so halving
     operand bytes nearly halves their wall-clock.
-  * with ``crop_box`` set (single-device path), the Grams are evaluated
-    only on a crop_box^2 pixel box around each footprint (footprints are
-    localized — the reference's search-location semantics,
-    ``determine_search_location.m``), replacing two (d, T) x (T, K)
-    matmuls with gathers + batched small contractions: ~25x fewer FLOPs
-    at 256x256, K~200.
+  * a ``crop_box`` path (Grams evaluated only on a box around each
+    footprint — the reference's search-location semantics) was built and
+    MEASURED in round 3: despite ~25x fewer FLOPs it ran 5x SLOWER than
+    the dense Grams (2,367 vs 12,436 Mpf/s at 256x256x2000, K=192,
+    box=64) — per-neuron pixel gathers/scatters of the movie defeat the
+    MXU entirely. It was deleted; the dense bf16 Grams are the fast path.
 """
 
 from __future__ import annotations
@@ -68,26 +68,6 @@ class BgProjection(NamedTuple):
     ring stencil."""
     P: jnp.ndarray                   # (T, H, W) — Ysig
     bands: Optional[jnp.ndarray]     # always None
-
-
-def _box_indices(A: jnp.ndarray, H: int, W: int, box: int):
-    """Per-neuron crop_box x crop_box pixel boxes centered on the footprint
-    peak, clipped fully inside the FOV. A: (K, H, W).
-
-    Returns (idx (K, box*box) flat pixel indices, mask builder inputs
-    (cy0, cx0) top-left corners (K,)).
-    """
-    K = A.shape[0]
-    flat_arg = jnp.argmax(A.reshape(K, -1), axis=-1)
-    cy = flat_arg // W
-    cx = flat_arg % W
-    y0 = jnp.clip(cy - box // 2, 0, H - box)
-    x0 = jnp.clip(cx - box // 2, 0, W - box)
-    dy = jnp.arange(box)
-    yy = y0[:, None] + dy[None, :]                      # (K, box)
-    xx = x0[:, None] + dy[None, :]                      # (K, box)
-    idx = (yy[:, :, None] * W + xx[:, None, :]).reshape(K, box * box)
-    return idx, y0, x0
 
 
 def _mxu_ok(mesh, W: int, mxu: Optional[bool]) -> bool:
@@ -168,7 +148,6 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         radius: int, n_hals: int = 2,
                         deconv: Optional[DeconvParams] = None,
                         smin: float = -3.0,
-                        crop_box: Optional[int] = None,
                         mxu: Optional[bool] = None,
                         chain: int = 1, deconv_every: int = 1):
     """Build the jitted HALS iteration ``iterate(proj_out, state) -> state``
@@ -189,11 +168,6 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
     stencil. All shapes static; K must divide the 'patch' axis size when
     a mesh is given (pad K_max accordingly).
 
-    ``crop_box``: evaluate the HALS Grams on a crop_box^2 box around each
-    footprint peak and constrain footprints to it (search-location
-    semantics). Single-device only — cross-shard gathers would serialize
-    the SPMD program.
-
     ``deconv_every``: deconvolve only every Nth chained iteration (plus
     always the last). The reference deconvolves once per temporal update
     (``update_temporal_parallel.m:282-287``); the sequential OASIS scan
@@ -203,8 +177,6 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
     iteration cost. Skipped iterations carry C = max(C_raw, 0) (the
     reference's no-deconv thresholding, ``HALS_temporal.m:66-68``).
     """
-    if crop_box is not None and mesh is not None:
-        raise ValueError("crop_box is a single-device optimization")
     d = H * W
 
     def constraint(x, spec):
@@ -229,43 +201,17 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         Cc = C - Cmean                                       # (K, T)
         V = Cc @ Cc.T                                        # (K, K)
 
-        if crop_box is None:
-            U = jnp.einsum("dt,kt->dk", Pd, Cc.astype(Pd.dtype),
-                           preferred_element_type=jnp.float32)
-            mask = None
-        else:
-            box = crop_box
-            idx, y0, x0 = _box_indices(A, H, W, box)         # (K, B)
-            Pg = jnp.take(Pd, idx, axis=0)                   # (K, B, T)
-            U_box = jnp.einsum("kbt,kt->kb", Pg, Cc.astype(Pd.dtype),
-                               preferred_element_type=jnp.float32)
-            rows = idx.reshape(-1)
-            cols = jnp.repeat(jnp.arange(K), box * box)
-            U = jnp.zeros((d, K), jnp.float32).at[rows, cols].set(
-                U_box.reshape(-1))
-            yy = jnp.arange(H)[:, None]
-            xx = jnp.arange(W)[None, :]
-            in_box = ((yy[None] >= y0[:, None, None]) &
-                      (yy[None] < (y0 + box)[:, None, None]) &
-                      (xx[None] >= x0[:, None, None]) &
-                      (xx[None] < (x0 + box)[:, None, None]))  # (K, H, W)
-            mask = in_box.reshape(K, d).T                    # (d, K)
-
-        Ad_new = hals_spatial_sweeps(U, V, Ad, mask=mask, n_iter=n_hals)
+        U = jnp.einsum("dt,kt->dk", Pd, Cc.astype(Pd.dtype),
+                       preferred_element_type=jnp.float32)
+        Ad_new = hals_spatial_sweeps(U, V, Ad, mask=None, n_iter=n_hals)
         A_new = Ad_new.T.reshape(K, H, W)
         A_new = constraint(A_new, P(None, "patch", None))
         Ad_new = A_new.reshape(K, d).T
 
         # ---- temporal HALS ----------------------------------------------- #
         Vt = Ad_new.T @ Ad_new                               # (K, K)
-        if crop_box is None:
-            Ut = jnp.einsum("dk,dt->kt", Ad_new.astype(Pd.dtype), Pd,
-                            preferred_element_type=jnp.float32)
-        else:
-            # A_new is zero outside the boxes, so the box dot is exact
-            Ag = Ad_new[idx, jnp.arange(K)[:, None]]         # (K, B)
-            Ut = jnp.einsum("kb,kbt->kt", Ag.astype(Pd.dtype), Pg,
-                            preferred_element_type=jnp.float32)
+        Ut = jnp.einsum("dk,dt->kt", Ad_new.astype(Pd.dtype), Pd,
+                        preferred_element_type=jnp.float32)
         C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals)
 
         # baseline: mean of sub-median samples (HALS_temporal.m:79);
@@ -319,7 +265,6 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      radius: int, n_hals: int = 2,
                      deconv: Optional[DeconvParams] = None,
                      smin: float = -3.0,
-                     crop_box: Optional[int] = None,
                      mxu: Optional[bool] = None,
                      gram_dtype: Optional[str] = None,
                      chain: int = 1, deconv_every: int = 1):
@@ -334,7 +279,7 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                               gram_dtype=gram_dtype)
     iterate = make_hals_iteration(mesh, H, W, T, radius, n_hals=n_hals,
                                   deconv=deconv, smin=smin,
-                                  crop_box=crop_box, mxu=mxu, chain=chain,
+                                  mxu=mxu, chain=chain,
                                   deconv_every=deconv_every)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:

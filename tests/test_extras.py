@@ -111,3 +111,20 @@ def test_submedian_mean_matches_numpy(rng):
     ref = np.array([x[i][x[i] < med[i]].mean() for i in range(12)])
     got = np.asarray(submedian_mean(jnp.asarray(x)))
     assert np.abs(got - ref).max() < 5e-3 * (np.abs(ref).max() + 1)
+
+
+def test_fast_median_masked_matches_numpy(rng):
+    from cnmf_e_tpu.ops.stats import fast_median_masked
+    x = rng.standard_normal((40, 101)).astype(np.float32) * 3.0
+    mask = rng.random(101) < 0.4
+    out = np.asarray(fast_median_masked(jnp.asarray(x),
+                                        jnp.asarray(mask)[None], axis=1))
+    for t in range(40):
+        sel = np.sort(x[t, mask])
+        # lower-middle order statistic (fast_median convention)
+        ref = sel[(len(sel) + 1) // 2 - 1]
+        assert abs(out[t] - ref) < 1e-3, (t, out[t], ref)
+    # empty mask -> 0
+    out0 = np.asarray(fast_median_masked(
+        jnp.asarray(x), jnp.zeros((1, 101), bool), axis=1))
+    assert np.all(out0 == 0.0)

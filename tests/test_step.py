@@ -2,8 +2,9 @@
 
 The step never materializes Ysig = Y - B; it decomposes both HALS Grams
 through the linearity of the ring operator (parallel/step.py). These tests
-pin that algebra to the explicit formulation, and the crop_box fast path to
-dense HALS with the equivalent search-location mask.
+pin that algebra to the explicit formulation. (The crop_box fast path was
+measured 5x slower than the dense Grams on TPU in round 3 and deleted —
+see parallel/step.py module docstring.)
 """
 
 import jax
@@ -15,7 +16,7 @@ from cnmf_e_tpu.ops.hals import hals_spatial, hals_temporal
 from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import foopsi_ar1
 from cnmf_e_tpu.ops.ring import RingWeights, apply_ring, ring_offsets
-from cnmf_e_tpu.parallel.step import StepState, _box_indices, make_update_step
+from cnmf_e_tpu.parallel.step import StepState, make_update_step
 
 
 @pytest.fixture(scope="module")
@@ -73,32 +74,6 @@ def test_dense_step_matches_explicit_ysig(problem):
     np.testing.assert_allclose(out.A.reshape(K, -1).T, Ad2, atol=2e-4)
     np.testing.assert_allclose(out.C_raw, C_raw, atol=2e-3)
     np.testing.assert_allclose(out.C, c, atol=5e-3)
-
-
-def test_crop_step_matches_masked_dense(problem):
-    H, W, T, K, radius, Y, st = problem
-    idx, _, _ = _box_indices(st.A, H, W, 16)
-    mask = np.zeros((K, H * W), bool)
-    for k in range(K):
-        mask[k, np.asarray(idx)[k]] = True
-    Ad2, C_raw, c = _explicit_reference(
-        H, W, T, K, radius, Y, st, mask=jnp.asarray(mask.T))
-    step = make_update_step(None, H, W, T, radius=radius, n_hals=1,
-                            crop_box=16)
-    out = step(Y, st)
-    np.testing.assert_allclose(out.A.reshape(K, -1).T, Ad2, atol=2e-4)
-    np.testing.assert_allclose(out.C_raw, C_raw, atol=2e-3)
-    np.testing.assert_allclose(out.C, c, atol=5e-3)
-
-
-def test_box_indices_clip_inside_fov():
-    A = np.zeros((2, 16, 16), np.float32)
-    A[0, 0, 0] = 1.0          # corner peak
-    A[1, 8, 15] = 1.0         # edge peak
-    idx, y0, x0 = _box_indices(jnp.asarray(A), 16, 16, 8)
-    assert int(y0[0]) == 0 and int(x0[0]) == 0
-    assert int(x0[1]) == 8
-    assert int(jnp.max(idx)) < 256 and int(jnp.min(idx)) >= 0
 
 
 def test_split_projection_iteration_matches_fused(problem):
