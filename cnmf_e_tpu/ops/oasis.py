@@ -555,6 +555,11 @@ def deconvolve(y: jnp.ndarray, params: DeconvParams,
             g_lo = jnp.exp(-1.0 / params.tau_range[0])
             g_hi = jnp.exp(-1.0 / params.tau_range[1])
             g = jnp.clip(g, g_lo, g_hi)
+    if params.method == "mcem":
+        # Monte-Carlo EM with time-constant resampling
+        # (utilities/MCEM_foopsi.m via update_temporal_components.m:323-326)
+        from cnmf_e_tpu.ops.mcem import mcem_foopsi
+        return mcem_foopsi(y, params, sn=sn, g=g)
     if params.model == "ar2" or params.model == "exp2":
         from cnmf_e_tpu.ops.onnls import onnls_deconvolve
         return onnls_deconvolve(y, g, sn, params)
