@@ -136,6 +136,8 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         # pass (update_background_parallel.m:311-317).
         out = step(Y, st)
         force(out.C)
+        out = step(Y, out)     # 2nd execution: pays the one-time
+        force(out.C)           # program-load cost on the tunneled runtime
         t0 = time.perf_counter()
         out = step(Y, out)
         force(out.C)
@@ -186,11 +188,15 @@ def bench_pipeline(H=256, W=256, T=2000, K_true=120):
         params.init, max_neurons=192, seeds_per_round=64, max_rounds=10))
     Y = jnp.asarray(gt.Y)
 
-    # warmup: compile every stage program (persistent compilation cache
-    # makes this cheap on reruns)
+    # warmup TWICE: run 1 compiles every stage program (persistent
+    # compilation cache makes this cheap on reruns); run 2 pays each
+    # program's one-time load cost on the tunneled runtime (measured
+    # ~0.8 s on a program's SECOND execution, ~29 ms from the third on —
+    # the steady state a production session runs in).
     t0 = time.perf_counter()
     CNMFE(params).fit(Y, verbose=False)
     warm_s = time.perf_counter() - t0
+    CNMFE(params).fit(Y, verbose=False)
 
     timer = StageTimer()
     model = CNMFE(params)

@@ -271,36 +271,60 @@ def initialize_greedy(Y: jnp.ndarray, params: CNMFEParams,
     deconv_cfg = (params.temporal.deconv
                   if ip.deconv_at_init and params.temporal.deconv.enabled
                   else None)
+    # NMS spacing: gSiz/2 keeps seeds one box-radius apart — enough for
+    # the batched extraction to separate them (the reference's order
+    # filter spaces seeds by only ~gSiz/4 and relies on serial peeling,
+    # greedyROI_endoscope.m:215; full-gSiz suppression pushed adjacent
+    # neurons into ~3 extra 130 ms tail rounds each)
     round_fn = _make_init_round(
         ip.gSig, ip.center_psf, gSiz, ip.seeds_per_round,
-        max(ip.min_pixel, 5), ip.corr_pixel_thr, deconv_cfg, gSiz)
+        max(ip.min_pixel, 5), ip.corr_pixel_thr, deconv_cfg,
+        max(gSiz // 2, 4))
 
-    # Host-driven rounds: one dispatch + one tiny (N, 4) fetch each. With
-    # the max-filter NMS a round takes a whole conflict-free seed batch,
-    # so typical movies finish in 2-4 rounds and the ~29 ms dispatch floor
-    # stays negligible. (Fusing ALL rounds into one early-exit while_loop
+    # Host-driven rounds with SPECULATIVE dispatch: round k+1 only needs
+    # round k's device-side state (n_found rides along as a device
+    # scalar), so it is dispatched before round k's tiny (N, 4) report is
+    # fetched — the ~29 ms fetch round trip hides behind the next round's
+    # compute. A speculatively executed post-stop round is semantically
+    # just another (empty) round, so using the last dispatched state is
+    # always correct. (Fusing ALL rounds into one early-exit while_loop
     # program was tried and reverted: past a size threshold the XLA:CPU
-    # compiler segfaults on the fused body — see CLAUDE.md test-gate note.)
+    # compiler segfaults on the fused body — see CLAUDE.md test-gate
+    # note.)
     seeds_log = []
+    nf_dev = jnp.int32(n_found)
+    pending = []          # dispatched, un-fetched reports
+    lag = 2
+    stop = False
     for rnd in range(ip.max_rounds):
-        state, Y_work, HY, searched, report = round_fn(
-            state, HY, Y_work, Ysig, searched, jnp.int32(n_found),
+        state, Y_work, HY, searched, report, nf_dev = round_fn(
+            state, HY, Y_work, Ysig, searched, nf_dev,
             jnp.float32(min_corr), jnp.float32(min_pnr))
-        rep = _np.asarray(report)
-        taken = _np.nonzero(rep[:, 2])[0]
-        n_valid = int(rep[:, 3].sum())
-        for i in taken:
-            seeds_log.append((rnd, int(rep[i, 0]), int(rep[i, 1])))
-        n_found += len(taken)
-        if verbose:
-            print(f"init round {rnd}: +{len(taken)} neurons "
-                  f"(total {n_found})")
-        # stop when nothing was accepted: remaining "valid" seeds are the
-        # weak tail that failed extraction (each round marks them
-        # searched, so letting them drain one batch at a time just burns
-        # ~166 ms/round; the residual pick recovers genuine stragglers)
-        if len(taken) == 0 or n_found >= K_max:
+        pending.append((rnd, report))
+        while pending and (len(pending) > lag
+                           or rnd == ip.max_rounds - 1):
+            r, rep = pending.pop(0)
+            rep = _np.asarray(rep)
+            taken = _np.nonzero(rep[:, 2])[0]
+            for i in taken:
+                seeds_log.append((r, int(rep[i, 0]), int(rep[i, 1])))
+            n_found += len(taken)
+            if verbose:
+                print(f"init round {r}: +{len(taken)} neurons "
+                      f"(total {n_found})")
+            # stop when nothing was accepted: the remaining "valid"
+            # seeds are the weak tail that failed extraction (the
+            # residual pick recovers genuine stragglers)
+            if len(taken) == 0 or n_found >= K_max:
+                stop = True
+                break
+        if stop:
             break
+    for r, rep in pending:
+        rep = _np.asarray(rep)
+        for i in _np.nonzero(rep[:, 2])[0]:
+            seeds_log.append((r, int(rep[i, 0]), int(rep[i, 1])))
+            n_found += 1
 
     cn, pnr, _ = _search_image(HY, Ysig, jnp.zeros((H, W), bool),
                                min_corr, min_pnr)
@@ -399,7 +423,8 @@ def _make_init_round(gSig: float, center_psf: bool, gSiz: int,
         searched2 = _mark_searched(searched2, rows, cols, valid)
         report = jnp.stack([rows, cols, take.astype(rows.dtype),
                             valid.astype(rows.dtype)], axis=1)
-        return state, Y_new, HY_new, searched2, report
+        n_found_new = n_found + jnp.sum(take.astype(jnp.int32))
+        return state, Y_new, HY_new, searched2, report, n_found_new
 
     return jax.jit(one_round)
 

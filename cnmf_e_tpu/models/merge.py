@@ -230,15 +230,44 @@ def merge_neurons(state: CNMFEState, params: CNMFEParams,
     re-deconvolves every trace anyway — can defer it and save the
     (K_max, T) OASIS pass + a dispatch per merge call).
     """
-    stats = np.asarray(_merge_stats(state))   # ONE device->host fetch
-    if mode == "dist_corr":
-        adj = merge_candidates_dist_corr(state, params, stats)
-    elif mode == "dist_only":
-        adj = merge_candidates_dist_only(state, params, stats)
-    else:
-        adj = merge_candidates_high_corr(state, params, stats)
-    return _merge_with_adjacency(state, params, adj, stats=stats,
-                                 deconv=deconv)
+    return merge_neurons_seq(state, params, (mode,), deconv=deconv)
+
+
+def _unpack_adjacency(packed: np.ndarray, mode: str):
+    K = packed.shape[-1]
+    di = np.arange(K)
+    rank = (packed[0, di, di].astype(np.int64)
+            | (packed[1, di, di].astype(np.int64) << 8))
+    active = packed[2, di, di] > 0
+    plane = {"dist_corr": 0, "dist_only": 1, "high_corr": 2}[mode]
+    adj = packed[plane].astype(bool).copy()
+    adj[di, di] = False
+    return adj, rank, active
+
+
+def merge_neurons_seq(state: CNMFEState, params: CNMFEParams,
+                      modes, deconv: bool = True
+                      ) -> Tuple[CNMFEState, int]:
+    """Run several merge modes back to back on ONE adjacency fetch.
+
+    All three candidate adjacencies come out of the same device program
+    (``_merge_adjacency``, a ~110 KB uint8 fetch instead of the ~1.3 MB
+    f32 statistics), so consecutive modes (the pipeline's final
+    dist_corr + high_corr pass, ``demo_large_data_1p.m:199-213``) share a
+    single fetch; a refetch happens only when an earlier mode actually
+    merged (state changed). Returns (state, total clusters merged)."""
+    packed = None
+    total = 0
+    for mode in modes:
+        if packed is None:
+            packed = np.asarray(_merge_adjacency(state, params))
+        adj, rank, active = _unpack_adjacency(packed, mode)
+        state2, nm = _merge_with_adjacency(state, params, adj, rank=rank,
+                                           active=active, deconv=deconv)
+        if nm:
+            state, packed = state2, None
+        total += nm
+    return state, total
 
 
 @functools.partial(jax.jit, static_argnames=("refit_iters",))

@@ -197,9 +197,11 @@ class CNMFE:
         with _st("merge"):
             # if either merge fires, the neuron count drops below k_before
             # and the conditional spatial+temporal refit below runs — so
-            # deconvolution is safely deferred to it
-            state, _ = merge_neurons(state, p, "dist_corr", deconv=False)
-            state, _ = merge_neurons(state, p, "high_corr", deconv=False)
+            # deconvolution is safely deferred to it; both modes share
+            # one adjacency fetch
+            from cnmf_e_tpu.models.merge import merge_neurons_seq
+            state, _ = merge_neurons_seq(
+                state, p, ("dist_corr", "high_corr"), deconv=False)
         log(f"final pass ({time.time() - t0:.1f}s)")
         if int(state.n_active()) != k_before:
             ref = []
