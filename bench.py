@@ -188,25 +188,35 @@ def bench_pipeline(H=256, W=256, T=2000, K_true=120):
         params.init, max_neurons=192, seeds_per_round=64, max_rounds=10))
     Y = jnp.asarray(gt.Y)
 
-    # warmup TWICE: run 1 compiles every stage program (persistent
-    # compilation cache makes this cheap on reruns); run 2 pays each
-    # program's one-time load cost on the tunneled runtime (measured
-    # ~0.8 s on a program's SECOND execution, ~29 ms from the third on —
-    # the steady state a production session runs in).
+    # warmup runs: the first compiles/loads every stage program (the
+    # persistent compilation cache makes this cheap on reruns); cache-
+    # loaded programs additionally pay a one-time ~0.9 s load cost at an
+    # early execution, so two more warm fits reach the steady state a
+    # production session runs in.
     t0 = time.perf_counter()
     CNMFE(params).fit(Y, verbose=False)
     warm_s = time.perf_counter() - t0
-    CNMFE(params).fit(Y, verbose=False)
+    for _ in range(2):
+        CNMFE(params).fit(Y, verbose=False)
 
-    timer = StageTimer()
+    # the TIMED run has no per-stage instrumentation: stage timers force
+    # a device sync after every stage, which serializes the async
+    # dispatch pipeline (measured: 2.25 s async vs 5.2 s serialized for
+    # the identical fit). End-to-end wall time of the uninstrumented fit
+    # is what a user experiences.
     model = CNMFE(params)
     t0 = time.perf_counter()
-    state = model.fit(Y, verbose=False, timer=timer)
+    state = model.fit(Y, verbose=False)
     dt = time.perf_counter() - t0
     n = int(np.asarray(state.active).sum())
+
+    # per-stage table from a separate instrumented run (serialized — the
+    # per-stage sums exceed the async wall time above)
+    timer = StageTimer()
+    CNMFE(params).fit(Y, verbose=False, timer=timer)
     print(f"pipeline warmup (incl. compile): {warm_s:.1f}s; "
-          f"timed run: {dt:.2f}s, {n} neurons", file=sys.stderr)
-    print(timer.report(), file=sys.stderr)
+          f"timed async run: {dt:.2f}s, {n} neurons", file=sys.stderr)
+    print("serialized " + timer.report(), file=sys.stderr)
     return H * W * T / dt / 1e6, dt, n
 
 

@@ -18,6 +18,7 @@ updates.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -41,9 +42,37 @@ def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
     return Yb - (apply_ring(weights, X, H, W, radius) + b0[None])
 
 
+# Per-block programs are individually jitted: the streaming loops visit
+# 100+ blocks at scale, and every EAGER op in the block body pays the
+# ~29 ms tunnel dispatch floor (a 6-op eager body costs ~17 s/pass at
+# 100 blocks before any compute).
+
 @jax.jit
 def _accum_moments(Yb):
     return jnp.sum(Yb, axis=0), Yb.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
+def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W):
+    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W)
+    return Ad @ Ysig.reshape(Yb.shape[0], -1).T
+
+
+@jax.jit
+def _block_temporal_U_mean(Yb, Ad, Ymean):
+    return Ad @ (Yb - Ymean[None]).reshape(Yb.shape[0], -1).T
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "H", "W", "stride"))
+def _block_Bf(Yb, A, Cc_blk, Ymean, radius, H, W, stride: int):
+    Yb = Yb[::stride]
+    return Yb - Ymean[None] - jnp.einsum("khw,kt->thw", A, Cc_blk)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
+def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W):
+    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W)
+    return U + Ysig.reshape(Yb.shape[0], -1).T @ C_blk.T
 
 
 def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
@@ -117,11 +146,10 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             Yb = jnp.asarray(Yb)
             if weights is not None:
                 C_blk = state.C[:, b * fpb:b * fpb + Yb.shape[0]]
-                Ysig = _ring_subtract(Yb, A, C_blk, state.b0, weights,
-                                      radius, H, W)
+                U_parts.append(_block_temporal_U_ring(
+                    Yb, Ad, A, C_blk, state.b0, weights, radius, H, W))
             else:
-                Ysig = Yb - Ymean[None]
-            U_parts.append(Ad @ Ysig.reshape(Yb.shape[0], -1).T)
+                U_parts.append(_block_temporal_U_mean(Yb, Ad, Ymean))
         U = jnp.concatenate(U_parts, axis=1)                 # (K, T)
         del U_parts
         C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
@@ -150,10 +178,11 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         Bf_rows = []
         Cc = state.masked_C() - Cmean[:, None]
         for b, Yb in enumerate(store.iter_blocks()):
-            Yb = jnp.asarray(Yb)[::stride]
-            idx = jnp.arange(b * fpb, b * fpb + len(Yb) * stride, stride)
-            Bf_rows.append(Yb - Ymean[None] - jnp.einsum(
-                "khw,kt->thw", A, Cc[:, idx]))
+            Yb = jnp.asarray(Yb)
+            n_s = -(-Yb.shape[0] // stride)
+            idx = jnp.arange(b * fpb, b * fpb + n_s * stride, stride)
+            Bf_rows.append(_block_Bf(Yb, A, Cc[:, idx], Ymean, radius,
+                                     H, W, stride))
         Bf_fit = jnp.concatenate(Bf_rows, axis=0)
         weights = fit_ring_weights(Bf_fit, H, W, radius,
                                    ridge_eps=params.background.ridge_eps)
@@ -167,9 +196,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         for b, Yb in enumerate(store.iter_blocks()):
             Yb = jnp.asarray(Yb)
             C_blk = C[:, b * fpb:b * fpb + Yb.shape[0]]
-            Ysig = _ring_subtract(Yb, A, C_blk, state.b0, weights,
-                                  radius, H, W)
-            U = U + Ysig.reshape(Yb.shape[0], -1).T @ C_blk.T
+            U = _block_spatial_U(U, Yb, A, C_blk, state.b0, weights,
+                                 radius, H, W)
         # HALS sweeps on the accumulated Grams — the same blocked
         # Gauss-Seidel program every in-memory spatial update runs
         # (ops/hals.py). A bespoke per-neuron fori_loop here compiled a
