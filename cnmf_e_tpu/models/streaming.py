@@ -39,7 +39,11 @@ from cnmf_e_tpu.ops.ring import (apply_ring, fit_ring_weights,
 
 def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
     X = Yb - b0[None] - jnp.einsum("khw,kt->thw", A, C_b)
-    return Yb - (apply_ring(weights, X, H, W, radius) + b0[None])
+    # Pallas stencil on TPU (one HBM read of the block): the XLA
+    # weighted-shift form materializes R shifted copies of the block on
+    # the TPU backend, which blows device memory at 1000-frame blocks
+    from cnmf_e_tpu.ops.pallas_ring import ring_apply_auto
+    return Yb - (ring_apply_auto(weights, X, H, W, radius) + b0[None])
 
 
 # Per-block programs are individually jitted: the streaming loops visit
