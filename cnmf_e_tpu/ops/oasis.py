@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cnmf_e_tpu.config import DeconvParams
 from cnmf_e_tpu.ops.ar import choose_smin, estimate_time_constant
@@ -294,6 +295,10 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
     y = jnp.asarray(y)
     batch_shape = y.shape[:-1]
     T = y.shape[-1]
+    if T > 2304:
+        # long recordings: overlap-windowed solve through the proven
+        # <=2304-sample kernels (see _oasis_ar1_windowed)
+        return _oasis_ar1_windowed(y, g, lam, smin, chunk)
     yf = y.reshape(-1, T)
     bc = lambda x: jnp.broadcast_to(jnp.asarray(x, yf.dtype), batch_shape).reshape(-1)
 
@@ -301,10 +306,14 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
                                              oasis_ar1_pallas_dc,
                                              oasis_pallas_supported)
     if jax.default_backend() in ("tpu", "axon") and oasis_pallas_supported(T):
-        if 256 < T <= 3072:
+        if 256 < T <= 2304:
             # two-pass divide-and-conquer: chunk-local kernel (narrow
             # spill masks) + pool-granularity cross-chunk kernel (trip
-            # count = surviving pools << T) — ~3x the single-pass kernel
+            # count = surviving pools << T) — ~3x the single-pass kernel.
+            # (dc tops out at T ~2304: its cross-chunk merge keeps
+            # (T, 128) pool panels in scoped VMEM and hits the 16 MB
+            # ceiling at T = 3072 — the 3072-sample windows of the
+            # long-T path route to the single-pass kernel instead)
             c, s = oasis_ar1_pallas_dc(yf, bc(g), bc(lam), bc(smin))
         else:
             c, s = oasis_ar1_pallas(yf, bc(g), bc(lam), bc(smin))
@@ -326,6 +335,51 @@ def oasis_ar1(y: jnp.ndarray, g: jnp.ndarray, lam=0.0, smin=0.0,
     else:
         c, s = jax.vmap(_oasis_ar1_single)(yf, bc(g), bc(lam), bc(smin))
     return c.reshape(y.shape), s.reshape(y.shape)
+
+
+def _oasis_ar1_windowed(y, g, lam, smin, chunk,
+                        win: int = 1280, overlap: int = 512
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlap-windowed OASIS for long recordings (T > 4096).
+
+    The batched event loops' sequential depth scales with T (at
+    T ~ 20,000 x hundreds of traces a single solve exceeds the TPU
+    runtime's program watchdog and kills the worker), and the Pallas
+    kernels keep (T, 128) state panels in scoped VMEM, which caps them at
+    T ~2,300 against the 16 MB limit. AR(1) influence
+    decays as g^dt, so the trace splits into ``win``-sample windows with
+    ``overlap``-sample context on both sides (the reference applies the
+    same windowing to its online solver, ``onnls.m:14-19``, with far
+    shorter windows); each (win + 2*overlap = 2304)-sample window routes
+    through the proven Pallas divide-and-conquer kernel and only the
+    interior ``win`` samples are kept. Window boundary error is bounded
+    by g^overlap of a pool crossing the seam (< 0.36 even at g = 0.998,
+    < 4e-12 at g = 0.95) and only affects pools spanning a cut.
+    """
+    batch_shape = y.shape[:-1]
+    T = y.shape[-1]
+    yf = y.reshape(-1, T)
+    K = yf.shape[0]
+    n_win = -(-T // win)
+    Tp = n_win * win
+    yp = jnp.pad(yf, ((0, 0), (overlap, Tp - T + overlap)))
+    L = win + 2 * overlap
+    idx = (np.arange(n_win) * win)[:, None] + np.arange(L)[None]
+    Yw = yp[:, idx].reshape(K * n_win, L)          # (K*n_win, L)
+
+    def rep(x):
+        xb = jnp.broadcast_to(jnp.asarray(x, yf.dtype),
+                              batch_shape).reshape(-1)
+        return jnp.repeat(xb, n_win)
+
+    c, s = oasis_ar1(Yw, rep(g), rep(lam), rep(smin), chunk=chunk)
+    c = c.reshape(K, n_win * L)
+    s = s.reshape(K, n_win * L)
+    keep = (np.arange(n_win) * L)[:, None] + overlap + np.arange(win)[None]
+    keep = jnp.asarray(keep.reshape(-1))
+    c = c[:, keep][:, :T].reshape(y.shape)
+    s = s[:, keep][:, :T].reshape(y.shape)
+    return c, s
 
 
 def _rss(y, c):

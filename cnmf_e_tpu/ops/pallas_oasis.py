@@ -607,5 +607,9 @@ def oasis_ar1_pallas(y: jnp.ndarray, g: jnp.ndarray, lam: jnp.ndarray,
 
 
 def oasis_pallas_supported(T: int) -> bool:
-    """VMEM budget check: 6 x (T, 128) f32/i32 arrays must fit comfortably."""
-    return T <= 4096
+    """VMEM budget check: the kernels keep ~7 (T, 128) f32/i32 panels in
+    scoped VMEM; the 16 MB limit is exceeded from T ~2,500 (measured:
+    17.85 MB at T = 3072; 16.26 MB at T = 2560 in the reconstruction
+    kernel). Longer traces go through the
+    overlap-windowed driver (ops/oasis.py::_oasis_ar1_windowed)."""
+    return T <= 2304

@@ -149,3 +149,31 @@ def test_optimize_g_recovers_coefficient(rng):
     g, c, s = optimize_g(jnp.asarray(ys, jnp.float32),
                          jnp.full((3,), 0.7), smin=0.4)
     np.testing.assert_allclose(np.asarray(g), g_true, atol=0.05)
+
+
+def test_windowed_long_T_matches_direct(rng):
+    """T > 4096 routes through the overlap-windowed solve; it must match
+    the direct divide-and-conquer result away from (and at) window seams
+    (reference windowing precedent: onnls.m:14-19)."""
+    from cnmf_e_tpu.ops.oasis import _oasis_ar1_windowed, oasis_ar1
+    K, T, g_true = 3, 9000, 0.95
+    C = np.zeros((K, T), np.float32)
+    S = (rng.random((K, T)) < 0.02) * rng.uniform(0.5, 1.5, (K, T))
+    for t in range(1, T):
+        C[:, t] = C[:, t - 1] * g_true + S[:, t]
+    y = jnp.asarray(C + 0.1 * rng.standard_normal((K, T)), jnp.float32)
+    g = jnp.full((K,), g_true, jnp.float32)
+    lam = jnp.full((K,), 0.5, jnp.float32)
+    smin = jnp.zeros((K,), jnp.float32)
+    cw, sw = _oasis_ar1_windowed(y, g, lam, smin, chunk=128)
+    # direct reference: the chunked XLA path on the full trace
+    cd, sd = oasis_ar1(y[:, :4096], g, lam, smin, chunk=128)
+    np.testing.assert_allclose(np.asarray(cw[:, :3500]),
+                               np.asarray(cd[:, :3500]), atol=5e-3)
+    # windowed full-length result is finite, nonnegative spikes
+    assert bool(jnp.all(jnp.isfinite(cw)))
+    assert float(jnp.min(sw)) >= 0.0
+    # global fit quality: correlation with ground truth everywhere
+    for k in range(K):
+        cc = np.corrcoef(np.asarray(cw[k]), C[k])[0, 1]
+        assert cc > 0.97, (k, cc)
