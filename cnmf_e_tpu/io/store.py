@@ -73,6 +73,14 @@ class MovieStore:
         for i in range(self.n_blocks()):
             yield np.asarray(self.read_block(i), np.float32)
 
+    def iter_blocks_raw(self) -> Iterator[np.ndarray]:
+        """Blocks in their STORED dtype (float16 for the scale store):
+        uploading raw halves the host->device tunnel traffic — the
+        measured bottleneck of the streaming fit on the tunneled chip —
+        and the jitted block programs cast on device."""
+        for i in range(self.n_blocks()):
+            yield self.read_block(i)
+
     # cached per-pixel noise map (analog of sn caching in the data file)
     def load_noise(self) -> Optional[np.ndarray]:
         p = os.path.join(self.root, "sn_pix.npy")

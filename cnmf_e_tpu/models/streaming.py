@@ -53,28 +53,32 @@ def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
 
 @jax.jit
 def _accum_moments(Yb):
+    Yb = Yb.astype(jnp.float32)
     return jnp.sum(Yb, axis=0), Yb.shape[0]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
 def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W):
+    Yb = Yb.astype(jnp.float32)
     Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W)
     return Ad @ Ysig.reshape(Yb.shape[0], -1).T
 
 
 @jax.jit
 def _block_temporal_U_mean(Yb, Ad, Ymean):
+    Yb = Yb.astype(jnp.float32)
     return Ad @ (Yb - Ymean[None]).reshape(Yb.shape[0], -1).T
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W", "stride"))
 def _block_Bf(Yb, A, Cc_blk, Ymean, radius, H, W, stride: int):
-    Yb = Yb[::stride]
+    Yb = Yb[::stride].astype(jnp.float32)
     return Yb - Ymean[None] - jnp.einsum("khw,kt->thw", A, Cc_blk)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
 def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W):
+    Yb = Yb.astype(jnp.float32)
     Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W)
     return U + Ysig.reshape(Yb.shape[0], -1).T @ C_blk.T
 
@@ -95,7 +99,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     # build the decimated proxy block-by-block (bounded host RAM)
     parts = []
     offset = 0
-    for Yb in store.iter_blocks():
+    for Yb in store.iter_blocks_raw():
         first = (-offset) % tsub
         parts.append(np.asarray(Yb)[first::tsub])
         offset += Yb.shape[0]
@@ -117,7 +121,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
 
     # ---- global mean image & pixel noise (streamed) ---------------------
     acc = jnp.zeros((H, W), jnp.float32)
-    for Yb in store.iter_blocks():
+    for Yb in store.iter_blocks_raw():
         s, n = _accum_moments(jnp.asarray(Yb))
         acc = acc + s
     Ymean = acc / T
@@ -146,7 +150,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         aa = jnp.sum(Ad * Ad, axis=1)
         V = Ad @ Ad.T                                        # (K, K)
         U_parts = []
-        for b, Yb in enumerate(store.iter_blocks()):
+        for b, Yb in enumerate(store.iter_blocks_raw()):
             Yb = jnp.asarray(Yb)
             if weights is not None:
                 C_blk = state.C[:, b * fpb:b * fpb + Yb.shape[0]]
@@ -181,7 +185,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # subsample frames across blocks for the weight fit
         Bf_rows = []
         Cc = state.masked_C() - Cmean[:, None]
-        for b, Yb in enumerate(store.iter_blocks()):
+        for b, Yb in enumerate(store.iter_blocks_raw()):
             Yb = jnp.asarray(Yb)
             n_s = -(-Yb.shape[0] // stride)
             idx = jnp.arange(b * fpb, b * fpb + n_s * stride, stride)
@@ -197,7 +201,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # ---- spatial: streamed Gram accumulation ------------------------
         C = state.masked_C()
         U = jnp.zeros((H * W, K_cap), jnp.float32)
-        for b, Yb in enumerate(store.iter_blocks()):
+        for b, Yb in enumerate(store.iter_blocks_raw()):
             Yb = jnp.asarray(Yb)
             C_blk = C[:, b * fpb:b * fpb + Yb.shape[0]]
             U = _block_spatial_U(U, Yb, A, C_blk, state.b0, weights,
