@@ -158,7 +158,10 @@ class MergeParams:
     # distance-only merge radius (reference merge_close_neighbors dmin_only,
     # demo default 2.4 * gSig); folds duplicate/ghost components into their
     # originals regardless of trace correlation
-    dmin_only: float = 6.0
+    # (reference demo value: demo_large_data_1p.m:62 dmin_only = 2 —
+    # an unconditional distance merge must stay well under typical
+    # neuron spacing or it collapses true neighbors in dense fields)
+    dmin_only: float = 2.0
     # optional decay-time gate: candidates also need per-neuron decay time
     # constants within max_decay_diff frames of each other
     # (merge_neurons_dist_corr.m:74-81); None disables the gate

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--store", default="/tmp/scale_store")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--n-outer", type=int, default=2)
+    ap.add_argument("--merge-thr", type=float, default=0.65,
+                    help="trace-correlation gate for distance merges; "
+                         "raise for sparse-activity recordings whose "
+                         "traces correlate through shared background")
     args = ap.parse_args()
 
     from cnmf_e_tpu.utils.cache import enable_compilation_cache
@@ -69,7 +73,7 @@ def main():
                         seeds_per_round=256, max_rounds=12),
         background=BackgroundParams(model="ring", ring_radius=9,
                                     frame_cap_factor=25),
-        merge=MergeParams(dmin=4.0),
+        merge=MergeParams(dmin=4.0, merge_thr=args.merge_thr),
     )
 
     print("device mem before:", device_mem(), flush=True)
