@@ -166,6 +166,13 @@ class MergeParams:
     # constants within max_decay_diff frames of each other
     # (merge_neurons_dist_corr.m:74-81); None disables the gate
     max_decay_diff: Optional[float] = None
+    # neuron-center estimator for the distance gates: "max" = location of
+    # the footprint peak (the reference demos' default,
+    # demo_large_data_1p.m:60 / merge_neurons_dist_corr.m:63-66), "mean" =
+    # center of mass (estCenter). Peak centers are robust to the
+    # background-contaminated footprint tails that drag centers of mass
+    # toward neighbors and over-merge sparse-activity recordings.
+    method_dist: str = "max"
     # rank-1 refit iterations after a merge (reference uses 10 alternating LS)
     refit_iters: int = 10
 

@@ -50,10 +50,12 @@ def decay_times(state: CNMFEState) -> np.ndarray:
 @jax.jit
 def _merge_stats(state: CNMFEState):
     """All pairwise merge statistics in one program, stacked into a
-    single (9, K, K) float32 array — the ONLY device->host fetch a merge
-    pass needs (rows: dist, corr_C, cos_A, corr_Craw, corr_S, energy,
-    active, g1, g2 — the last four broadcast per-neuron vectors; g2 is
-    zero for AR(1) states)."""
+    single (10, K, K) float32 array — the ONLY device->host fetch a merge
+    pass needs (rows: dist_mean, corr_C, cos_A, corr_Craw, corr_S, energy,
+    active, g1, g2, dist_max — rows 5-8 broadcast per-neuron vectors; g2
+    is zero for AR(1) states). Both center estimators ship in one fetch:
+    row 0 = center-of-mass distance (``estCenter``), row 9 = footprint-peak
+    distance (``merge_neurons_dist_corr.m:63-66``, method_dist='max')."""
     K = state.K_max
     A3 = state.masked_A()
     H, W = A3.shape[1:]
@@ -62,9 +64,16 @@ def _merge_stats(state: CNMFEState):
                  axis=(1, 2)) / mass
     cx = jnp.sum(A3 * jnp.arange(W, dtype=A3.dtype)[None, None, :],
                  axis=(1, 2)) / mass
-    dy = cy[:, None] - cy[None, :]
-    dx = cx[:, None] - cx[None, :]
-    dist = jnp.sqrt(dy * dy + dx * dx)
+
+    def pair_dist(cy, cx):
+        dy = cy[:, None] - cy[None, :]
+        dx = cx[:, None] - cx[None, :]
+        return jnp.sqrt(dy * dy + dx * dx)
+
+    dist = pair_dist(cy, cx)
+    pk = jnp.argmax(A3.reshape(K, -1), axis=1)
+    dist_max = pair_dist((pk // W).astype(A3.dtype),
+                         (pk % W).astype(A3.dtype))
 
     def corr_rows(X):
         Xc = X - jnp.mean(X, axis=1, keepdims=True)
@@ -97,7 +106,8 @@ def _merge_stats(state: CNMFEState):
         jnp.broadcast_to(state.active[None, :].astype(jnp.float32),
                          (K, K)),
         jnp.broadcast_to(g1[None, :], (K, K)),
-        jnp.broadcast_to(g2[None, :], (K, K))])
+        jnp.broadcast_to(g2[None, :], (K, K)),
+        dist_max])
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -115,7 +125,8 @@ def _merge_adjacency(state: CNMFEState, params: CNMFEParams) -> jnp.ndarray:
     mp = params.merge
     K = state.K_max
     st = _merge_stats(state)
-    dist, corr_C, cos_A = st[0], st[1], st[2]
+    dist = st[9] if mp.method_dist == "max" else st[0]
+    corr_C, cos_A = st[1], st[2]
     corr_Craw, corr_S, energy = st[3], st[4], st[5][0]
     g1, g2 = st[7][0], st[8][0]
     act2 = jnp.outer(state.active, state.active)
@@ -154,7 +165,8 @@ def merge_candidates_dist_corr(state: CNMFEState, params: CNMFEParams,
     gate (``:74-81``: skip pairs whose decay constants differ by more than
     ``max_decay_diff`` frames)."""
     st = np.asarray(stats if stats is not None else _merge_stats(state))
-    dist, cc, active = st[0], st[1], st[6][0] > 0
+    dist = st[9] if params.merge.method_dist == "max" else st[0]
+    cc, active = st[1], st[6][0] > 0
     adj = (dist <= params.merge.dmin) & (cc >= params.merge.merge_thr)
     if params.merge.max_decay_diff is not None:
         # decay gate from the fetched g rows (same dominant-root formula
@@ -196,7 +208,8 @@ def merge_candidates_dist_only(state: CNMFEState, params: CNMFEParams,
     ``MergeNeighbors.m`` with dmin_only): any two active neurons whose
     centers are within ``dmin_only`` merge unconditionally."""
     st = np.asarray(stats if stats is not None else _merge_stats(state))
-    dist, active = st[0], st[6][0] > 0
+    dist = st[9] if params.merge.method_dist == "max" else st[0]
+    active = st[6][0] > 0
     adj = dist <= params.merge.dmin_only
     adj &= np.outer(active, active)
     np.fill_diagonal(adj, False)

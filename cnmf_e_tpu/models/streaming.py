@@ -51,10 +51,48 @@ def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
 # ~29 ms tunnel dispatch floor (a 6-op eager body costs ~17 s/pass at
 # 100 blocks before any compute).
 
+
+def _prefetch_device_blocks(store: MovieStore, slicer=None):
+    """Iterate blocks with one-block-ahead disk read + device upload.
+
+    The tunneled host->device transfer is the measured wall of the
+    streaming fit (SCALE.md); a worker thread reads block i+1 from disk
+    and starts its ``jax.device_put`` while the (async-dispatched) block-i
+    program runs, so transfer and compute overlap. Exactly one extra block
+    is in flight — bounded HBM. ``slicer(i, memmap) -> ndarray`` lets a
+    pass upload only the frames it needs (the strided ring-Bf fit).
+
+    Matches the reference's chunked-ingest discipline
+    (``distribute_data.m:176``) with the chunk pipeline a worker thread.
+    """
+    import concurrent.futures as cf
+
+    n = store.n_blocks()
+
+    def load(i):
+        blk = store.read_block(i)
+        blk = slicer(i, blk) if slicer is not None else np.asarray(blk)
+        return jax.device_put(blk)
+
+    with cf.ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(load, 0)
+        for i in range(n):
+            cur = fut.result()
+            if i + 1 < n:
+                fut = ex.submit(load, i + 1)
+            yield i, cur
+
+
 @jax.jit
-def _accum_moments(Yb):
+def _block_temporal_U_raw(Yb, Ad):
+    """First-pass per-block accumulators: raw projection rows A^T Y_b and
+    the block pixel-sum. The mean-subtracted projection is separable —
+    U[:, t] = A^T (Y_t - Ymean) = (A^T Y_t) - A^T Ymean — so the global
+    mean image comes out of the SAME pass and the former dedicated
+    mean-accumulation pass (a full movie upload) disappears; the caller
+    applies the rank-1 correction once Ymean is known."""
     Yb = Yb.astype(jnp.float32)
-    return jnp.sum(Yb, axis=0), Yb.shape[0]
+    return Ad @ Yb.reshape(Yb.shape[0], -1).T, jnp.sum(Yb, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
@@ -65,15 +103,17 @@ def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W):
 
 
 @jax.jit
-def _block_temporal_U_mean(Yb, Ad, Ymean):
-    Yb = Yb.astype(jnp.float32)
-    return Ad @ (Yb - Ymean[None]).reshape(Yb.shape[0], -1).T
-
-
-@functools.partial(jax.jit, static_argnames=("radius", "H", "W", "stride"))
-def _block_Bf(Yb, A, Cc_blk, Ymean, radius, H, W, stride: int):
-    Yb = Yb[::stride].astype(jnp.float32)
-    return Yb - Ymean[None] - jnp.einsum("khw,kt->thw", A, Cc_blk)
+def _block_Bf(Yb_s, A, Cc_s, Ymean, j0):
+    """Ring-fit residual rows for an already host-strided frame subset
+    (the fit needs only ~frame_cap_factor x R frames; the host reads just
+    those rows from the block memmap instead of uploading whole blocks).
+    ``Cc_s`` holds the centered traces on the same global stride grid;
+    ``j0`` is this block's first column in it (a traced scalar, so every
+    full-size block shares one compiled program)."""
+    Yb_s = Yb_s.astype(jnp.float32)
+    Cc_blk = jax.lax.dynamic_slice(
+        Cc_s, (0, j0), (Cc_s.shape[0], Yb_s.shape[0]))
+    return Yb_s - Ymean[None] - jnp.einsum("khw,kt->thw", A, Cc_blk)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
@@ -119,12 +159,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         C_raw=jnp.zeros((K_cap, T), jnp.float32),
         S=jnp.zeros((K_cap, T), jnp.float32))
 
-    # ---- global mean image & pixel noise (streamed) ---------------------
-    acc = jnp.zeros((H, W), jnp.float32)
-    for Yb in store.iter_blocks_raw():
-        s, n = _accum_moments(jnp.asarray(Yb))
-        acc = acc + s
-    Ymean = acc / T
+    # ---- pixel noise (cached; reads only the first noise_frame_cap) -----
     sn_pix = store.load_noise()
     if sn_pix is None:
         cap = min(params.noise_frame_cap, T)
@@ -135,6 +170,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     sn_pix = jnp.asarray(sn_pix)
 
     weights = None
+    Ymean = None
     fpb = store.frames_per_block
 
     for it in range(n_outer):
@@ -150,15 +186,23 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         aa = jnp.sum(Ad * Ad, axis=1)
         V = Ad @ Ad.T                                        # (K, K)
         U_parts = []
-        for b, Yb in enumerate(store.iter_blocks_raw()):
-            Yb = jnp.asarray(Yb)
-            if weights is not None:
+        if weights is None:
+            # first pass doubles as the mean-image accumulation (the
+            # mean-subtraction of U is a separable rank-1 correction)
+            acc = jnp.zeros((H, W), jnp.float32)
+            for b, Yb in _prefetch_device_blocks(store):
+                Ub, s = _block_temporal_U_raw(Yb, Ad)
+                U_parts.append(Ub)
+                acc = acc + s
+            Ymean = acc / T
+            U = (jnp.concatenate(U_parts, axis=1)
+                 - (Ad @ Ymean.reshape(-1))[:, None])        # (K, T)
+        else:
+            for b, Yb in _prefetch_device_blocks(store):
                 C_blk = state.C[:, b * fpb:b * fpb + Yb.shape[0]]
                 U_parts.append(_block_temporal_U_ring(
                     Yb, Ad, A, C_blk, state.b0, weights, radius, H, W))
-            else:
-                U_parts.append(_block_temporal_U_mean(Yb, Ad, Ymean))
-        U = jnp.concatenate(U_parts, axis=1)                 # (K, T)
+            U = jnp.concatenate(U_parts, axis=1)             # (K, T)
         del U_parts
         C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
         from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
@@ -182,15 +226,20 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         R = ring_offsets(radius).shape[0]
         nmax = params.background.frame_cap_factor * R
         stride = max(int(np.ceil(T / nmax)), 1)
-        # subsample frames across blocks for the weight fit
-        Bf_rows = []
+        # subsample frames across blocks for the weight fit: the host
+        # reads ONLY the stride-grid rows of each block (memmap row
+        # gather), so this pass uploads ~1/stride of the movie
         Cc = state.masked_C() - Cmean[:, None]
-        for b, Yb in enumerate(store.iter_blocks_raw()):
-            Yb = jnp.asarray(Yb)
-            n_s = -(-Yb.shape[0] // stride)
-            idx = jnp.arange(b * fpb, b * fpb + n_s * stride, stride)
-            Bf_rows.append(_block_Bf(Yb, A, Cc[:, idx], Ymean, radius,
-                                     H, W, stride))
+        Cc_s = Cc[:, ::stride]
+
+        def bf_slicer(b, blk):
+            off = (-(b * fpb)) % stride
+            return np.ascontiguousarray(blk[off::stride])
+
+        Bf_rows = []
+        for b, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer):
+            j0 = -(-(b * fpb) // stride)     # first global grid col here
+            Bf_rows.append(_block_Bf(Yb_s, A, Cc_s, Ymean, j0))
         Bf_fit = jnp.concatenate(Bf_rows, axis=0)
         weights = fit_ring_weights(Bf_fit, H, W, radius,
                                    ridge_eps=params.background.ridge_eps)
@@ -201,8 +250,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # ---- spatial: streamed Gram accumulation ------------------------
         C = state.masked_C()
         U = jnp.zeros((H * W, K_cap), jnp.float32)
-        for b, Yb in enumerate(store.iter_blocks_raw()):
-            Yb = jnp.asarray(Yb)
+        for b, Yb in _prefetch_device_blocks(store):
             C_blk = C[:, b * fpb:b * fpb + Yb.shape[0]]
             U = _block_spatial_U(U, Yb, A, C_blk, state.b0, weights,
                                  radius, H, W)
