@@ -1,8 +1,8 @@
 """Movie loading dispatch (reference: ``smod_bigread2.m``, ``get_data_dimension.m``).
 
 Supported containers: TIFF (incl. ImageJ contiguous stacks), HDF5 (.h5/.hdf5
-and v7.3 .mat), NumPy (.npy). AVI is not supported in this build (no codec
-stack in the image); convert to TIFF/HDF5 first.
+and v7.3 .mat), NumPy (.npy), and AVI (raw/uncompressed and MJPEG via the
+pure-python reader in :mod:`cnmf_e_tpu.io.avi`).
 """
 
 from __future__ import annotations

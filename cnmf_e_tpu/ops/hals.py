@@ -20,8 +20,13 @@ import jax.numpy as jnp
 
 def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                         mask: Optional[jnp.ndarray] = None,
-                        n_iter: int = 5, block: int = 16) -> jnp.ndarray:
+                        n_iter: int = 5, block: int = 16,
+                        use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Gauss-Seidel spatial sweeps given precomputed Grams.
+
+    On a single TPU the multi-sweep solve dispatches to the fused Pallas
+    kernel (row-major transposes at the boundary); callers running under
+    a device mesh must pass ``use_pallas=False``.
 
     U = Ysig @ Cc^T (d, K), V = Cc @ Cc^T (K, K). Callers that can express
     Ysig implicitly (e.g. the ring-background step, where
@@ -35,6 +40,16 @@ def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
     columns updated so far — cutting sweep HBM traffic by ~``block`` x.
     """
     d, K = A.shape
+    if use_pallas is None:
+        from cnmf_e_tpu.ops.pallas_hals import pallas_hals_eligible
+        use_pallas = pallas_hals_eligible(K, block)
+    if use_pallas:
+        from cnmf_e_tpu.ops.pallas_hals import hals_sweeps_rows_pallas
+        out = hals_sweeps_rows_pallas(
+            U.T, V, A.T, gate=jnp.ones(K, jnp.float32),
+            mask=None if mask is None else mask.T,
+            n_iter=n_iter, block=block, relu=True)
+        return out.T
     cc = jnp.diag(V)
     if mask is not None:
         A = jnp.where(mask, A, 0.0)
@@ -80,6 +95,32 @@ def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
     return A[:, :K]
 
 
+def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
+                             mask: Optional[jnp.ndarray] = None,
+                             n_iter: int = 5, block: int = 16,
+                             use_pallas: Optional[bool] = None
+                             ) -> jnp.ndarray:
+    """Row-major spatial sweeps: A, U are (K, d) — the native
+    ``A.reshape(K, d)`` layout. On a single TPU the whole multi-sweep
+    solve runs as ONE fused Pallas kernel with row tiles resident in VMEM
+    (one HBM read of A/U instead of ~n_iter x K/block — the round-3
+    latency bottleneck, PERF.md §1); elsewhere it falls back to the
+    blocked XLA path via transposes. Callers running under a device mesh
+    must pass ``use_pallas=False`` (pallas_call does not partition)."""
+    from cnmf_e_tpu.ops.pallas_hals import (hals_sweeps_rows_pallas,
+                                            pallas_hals_eligible)
+    if use_pallas is None:
+        use_pallas = pallas_hals_eligible(A.shape[0], block)
+    if use_pallas:
+        return hals_sweeps_rows_pallas(
+            U, V, A, gate=jnp.ones(A.shape[0], jnp.float32), mask=mask,
+            n_iter=n_iter, block=block, relu=True)
+    out = hals_spatial_sweeps(U.T, V, A.T,
+                              mask=None if mask is None else mask.T,
+                              n_iter=n_iter, block=block, use_pallas=False)
+    return out.T
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter",))
 def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
@@ -100,13 +141,26 @@ def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
 
 def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
                          n_iter: int = 5,
-                         active: Optional[jnp.ndarray] = None
-                         ) -> jnp.ndarray:
+                         active: Optional[jnp.ndarray] = None,
+                         use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Gauss-Seidel temporal sweeps given precomputed Grams.
 
     U = A^T Ysig (K, T), V = A^T A (K, K); U stays fixed across sweeps
     (it is built from the pre-update C, like ``HALS_temporal.m:58-107``).
+    On a single TPU the sweeps run as one fused VMEM-resident Pallas
+    kernel (same blocked Gauss-Seidel order; see
+    :func:`hals_spatial_sweeps_rows`); mesh callers pass
+    ``use_pallas=False``.
     """
+    from cnmf_e_tpu.ops.pallas_hals import (hals_sweeps_rows_pallas,
+                                            pallas_hals_eligible)
+    if use_pallas is None:
+        use_pallas = pallas_hals_eligible(C.shape[0])
+    if use_pallas:
+        gate = (active if active is not None
+                else jnp.ones(C.shape[0], jnp.float32))
+        return hals_sweeps_rows_pallas(U, V, C, gate=gate,
+                                       n_iter=n_iter, relu=False)
     aa = jnp.diag(V)
 
     def neuron_update(k, C):

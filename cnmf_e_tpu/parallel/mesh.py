@@ -22,14 +22,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_patch: int = 0, n_frame: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (patch, frame) mesh. n_patch=0 uses all available devices."""
+    """Build a (patch, frame) mesh. n_patch=0 uses all available devices.
+
+    The 'frame' axis varies SLOWEST over the device list: consecutive
+    devices (one host's chips, dense ICI) share a frame shard and split
+    the patch axis, while frame shards span hosts — so multihost ingest
+    reads disjoint contiguous frame ranges per process
+    (``parallel/multihost.py``) and the stencil halo exchange on 'patch'
+    stays on intra-host ICI."""
     devices = list(devices if devices is not None else jax.devices())
     if n_patch <= 0:
         n_patch = len(devices) // n_frame
     assert n_patch * n_frame <= len(devices), (
         f"need {n_patch * n_frame} devices, have {len(devices)}")
-    grid = np.array(devices[: n_patch * n_frame]).reshape(n_patch, n_frame)
-    return Mesh(grid, ("patch", "frame"))
+    grid = np.array(devices[: n_patch * n_frame]).reshape(n_frame, n_patch)
+    return Mesh(grid.T, ("patch", "frame"))
 
 
 def movie_sharding(mesh: Mesh) -> NamedSharding:

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnmf_e_tpu.config import DeconvParams
-from cnmf_e_tpu.ops.hals import hals_spatial_sweeps, hals_temporal_sweeps
+from cnmf_e_tpu.ops.hals import (hals_spatial_sweeps_rows,
+                                 hals_temporal_sweeps)
 from cnmf_e_tpu.ops.noise import noise_psd
 from cnmf_e_tpu.ops.oasis import foopsi_ar1
 from cnmf_e_tpu.ops.ring import RingWeights, apply_ring
@@ -191,8 +192,21 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         C = constraint(st.C, P(None, "frame"))
         K = A.shape[0]
 
-        Pd = Ysig.reshape(T, d).T                            # (d, T)
-        Ad = A.reshape(K, d).T                               # (d, K)
+        Pf = Ysig.reshape(T, d)                              # (T, d)
+        Ar = A.reshape(K, d)                                 # (K, d) native
+        # XLA:CPU's dot thunk lacks BF16xBF16->F32 for this contraction
+        # orientation; emulate the MXU (bf16 inputs, f32 accumulation) by
+        # rounding to bf16 then upcasting — identical numerics
+        if (Pf.dtype == jnp.bfloat16
+                and jax.default_backend() not in ("tpu", "axon")):
+            to_gram = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            to_gram = lambda x: x.astype(Pf.dtype)
+        Pg = to_gram(Pf)
+        # single-device TPU: fused Pallas sweep kernels (VMEM-resident
+        # multi-sweep solves); under a mesh pallas_call cannot partition,
+        # so the XLA blocked path runs (None = auto-dispatch)
+        sweeps_pallas = False if mesh is not None else None
 
         # ---- spatial HALS ------------------------------------------------ #
         # U = Ysig_c @ Cc^T: the movie mean-term vanishes against the
@@ -201,18 +215,21 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         Cc = C - Cmean                                       # (K, T)
         V = Cc @ Cc.T                                        # (K, K)
 
-        U = jnp.einsum("dt,kt->dk", Pd, Cc.astype(Pd.dtype),
+        U = jnp.einsum("kt,td->kd", to_gram(Cc), Pg,
                        preferred_element_type=jnp.float32)
-        Ad_new = hals_spatial_sweeps(U, V, Ad, mask=None, n_iter=n_hals)
-        A_new = Ad_new.T.reshape(K, H, W)
+        Ar_new = hals_spatial_sweeps_rows(U, V, Ar, mask=None,
+                                          n_iter=n_hals,
+                                          use_pallas=sweeps_pallas)
+        A_new = Ar_new.reshape(K, H, W)
         A_new = constraint(A_new, P(None, "patch", None))
-        Ad_new = A_new.reshape(K, d).T
+        Ar_new = A_new.reshape(K, d)
 
         # ---- temporal HALS ----------------------------------------------- #
-        Vt = Ad_new.T @ Ad_new                               # (K, K)
-        Ut = jnp.einsum("dk,dt->kt", Ad_new.astype(Pd.dtype), Pd,
+        Vt = Ar_new @ Ar_new.T                               # (K, K)
+        Ut = jnp.einsum("kd,td->kt", to_gram(Ar_new), Pg,
                         preferred_element_type=jnp.float32)
-        C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals)
+        C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals,
+                                     use_pallas=sweeps_pallas)
 
         # baseline: mean of sub-median samples (HALS_temporal.m:79);
         # bisection median — jnp.median's sort costs as much as the Grams

@@ -123,15 +123,27 @@ def main(argv=None):
                           run_log=run_log, resume_from=args.resume)
 
     if args.apply_decisions:
+        from cnmf_e_tpu.models.merge import merge_pairs
         from cnmf_e_tpu.models.qc import delete_neurons
         from cnmf_e_tpu.models.state import compact
         with open(args.apply_decisions) as f:
-            rejected = json.load(f).get("rejected", [])
+            dec = json.load(f)
+        rejected = dec.get("rejected", [])
+        pairs = dec.get("merge", [])
+        if pairs:
+            # reviewer-marked merge pairs from the report (the reference's
+            # manual_merge_multi_pairs flow); ids are slot indices of the
+            # reported (compacted) state
+            state, nm = merge_pairs(state, params, pairs)
+            run_log.log(f"applied decisions: merged {nm} pairs "
+                        f"({args.apply_decisions})")
         if rejected:
-            state = compact(delete_neurons(state, rejected))
-            model.state = state
+            state = delete_neurons(state, rejected)
             run_log.log(f"applied decisions: dropped {len(rejected)} "
                         f"neurons ({args.apply_decisions})")
+        if pairs or rejected:
+            state = compact(state)
+            model.state = state
 
     out_path = save_results(os.path.join(run_log.dir, "results"), state,
                             params=params)

@@ -176,7 +176,9 @@ _PAGE = """<!DOCTYPE html>
   </select>
   <button id="export">download decisions.json</button>
   <span style="font-size:11px;color:#888"><span class="kbd">j</span>/<span
-   class="kbd">k</span> navigate, <span class="kbd">x</span> reject</span>
+   class="kbd">k</span> navigate, <span class="kbd">x</span> reject,
+   <span class="kbd">m</span> mark merge pair,
+   <span class="kbd">u</span> unmark</span>
  </div>
  <div id="list"></div>
 </div>
@@ -193,6 +195,8 @@ function f32(b64){if(!b64)return null;const s=atob(b64);
  s.charCodeAt(i);return new Float32Array(a.buffer);}
 const C=f32(D.C), Craw=f32(D.C_raw), S=f32(D.S), Td=D.Td;
 let order=D.neurons.map((n,i)=>i), sel=0, rej=new Set();
+let mergeAnchor=null, merges=[];   // index pairs marked for manual merge
+const inMerge=i=>merges.some(p=>p[0]===i||p[1]===i);
 document.getElementById('meta').textContent =
  `${D.K} neurons | ${D.H}x${D.W} px | ${D.T} frames @ ${D.fs} Hz`;
 const img=document.getElementById('cnimg'); img.src=D.cn_png;
@@ -202,7 +206,8 @@ function drawOverlay(){
  const sx=r.width/D.W, sy=r.height/D.H, g=ov.getContext('2d');
  g.clearRect(0,0,ov.width,ov.height);
  D.neurons.forEach((n,i)=>{
-  g.strokeStyle=rej.has(i)?'#555':(i===order[sel]?'#ff0':'#e33');
+  g.strokeStyle=rej.has(i)?'#555':(i===mergeAnchor?'#0f0':
+   (inMerge(i)?'#0cf':(i===order[sel]?'#ff0':'#e33')));
   g.lineWidth=i===order[sel]?2:1; g.beginPath();
   n.contour.forEach((p,j)=>{const x=p[1]*sx,y=p[0]*sy;
    j?g.lineTo(x,y):g.moveTo(x,y);}); g.stroke();});
@@ -226,7 +231,9 @@ function render(){
   div.className='row'+(pos===sel?' sel':'')+(rej.has(i)?' rej':'');
   div.innerHTML=`<b>#${n.id}</b><span>snr ${n.snr}</span>`+
    `<span>E ${n.energy}</span><span>(${n.cy},${n.cx})</span>`+
-   (n.tag?`<span style="color:#fa0">tag ${n.tag}</span>`:'');
+   (n.tag?`<span style="color:#fa0">tag ${n.tag}</span>`:'')+
+   (i===mergeAnchor?`<span style="color:#0f0">M?</span>`:
+    (inMerge(i)?`<span style="color:#0cf">M</span>`:''));
   div.onclick=()=>{sel=pos;render();}; list.appendChild(div);});
  const i=order[sel], n=D.neurons[i];
  document.getElementById('thumb').src=n.thumb;
@@ -259,10 +266,17 @@ document.onkeydown=e=>{
  if(e.key==='j'){sel=Math.min(sel+1,order.length-1);render();}
  if(e.key==='k'){sel=Math.max(sel-1,0);render();}
  if(e.key==='x'){const i=order[sel];
-  rej.has(i)?rej.delete(i):rej.add(i);render();}};
+  rej.has(i)?rej.delete(i):rej.add(i);render();}
+ if(e.key==='m'){const i=order[sel];
+  if(mergeAnchor===null){mergeAnchor=i;}
+  else{if(mergeAnchor!==i)merges.push([mergeAnchor,i]);mergeAnchor=null;}
+  render();}
+ if(e.key==='u'){const i=order[sel];mergeAnchor=null;
+  merges=merges.filter(p=>p[0]!==i&&p[1]!==i);render();}};
 document.getElementById('export').onclick=()=>{
  const out={rejected:[...rej].map(i=>D.neurons[i].id),
-            kept:D.neurons.filter((n,i)=>!rej.has(i)).map(n=>n.id)};
+            kept:D.neurons.filter((n,i)=>!rej.has(i)).map(n=>n.id),
+            merge:merges.map(p=>[D.neurons[p[0]].id,D.neurons[p[1]].id])};
  const a=document.createElement('a');
  a.href=URL.createObjectURL(new Blob([JSON.stringify(out,null,1)],
   {type:'application/json'}));

@@ -2,10 +2,14 @@
 process-local data covers every shard, which exercises the same assembly
 code path as the N-host case)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from cnmf_e_tpu.io.store import distribute_movie
 from cnmf_e_tpu.parallel.mesh import make_mesh
@@ -50,6 +54,45 @@ def test_load_sharded_movie_pads_ragged_T(store):
     mesh = make_mesh(n_patch=2, n_frame=4)   # 100 % 4 == 0 -> use T=100
     arr = load_sharded_movie(st, mesh)
     np.testing.assert_allclose(np.asarray(arr), Y, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_ingest(tmp_path):
+    """Exercise ``make_array_from_process_local_data`` across a REAL
+    process boundary: two CPU processes (4 virtual devices each) under
+    ``jax.distributed``, each reading only its own frame range, then a
+    cross-process collective reduction checked against a direct load."""
+    import socket
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(7)
+    Y = rng.standard_normal((96, 16, 32)).astype(np.float32)
+    src = str(tmp_path / "mov.npy")
+    np.save(src, Y)
+    distribute_movie(src, str(tmp_path / "store"), frames_per_block=24)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(tmp_path / "store"), coord,
+         str(i), "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i}: OK" in out
 
 
 def test_sharded_movie_feeds_update_step(store):

@@ -51,6 +51,51 @@ def test_report_decimation_bounds_payload(tmp_path):
     assert data["T"] == 20000
 
 
+def test_report_has_merge_marking_ui(tmp_path):
+    """The report exposes the manual merge-pair flow
+    (merge_neurons_dist_corr.m:129-173 / manual_merge_multi_pairs.m)."""
+    A, C = _toy()
+    path = generate_html_report(str(tmp_path / "r.html"),
+                                np.zeros((32, 32)), A, C)
+    text = open(path).read()
+    assert "mark merge pair" in text
+    assert "merge:merges.map" in text
+
+
+def test_decisions_roundtrip_delete_and_merge(tmp_path):
+    """decisions.json with both a merge pair and a rejection applies the
+    way run.py --apply-decisions does: merge first, then delete, then
+    compact."""
+    from cnmf_e_tpu.config import CNMFEParams
+    from cnmf_e_tpu.models.merge import merge_pairs
+
+    rng = np.random.default_rng(3)
+    A, C = _toy(K=5)
+    st = empty_state(5, 32, 32, 120)
+    st = st.replace(A=jnp.asarray(A), C=jnp.asarray(C),
+                    C_raw=jnp.asarray(C + 0.05 * rng.standard_normal(
+                        C.shape).astype(np.float32)),
+                    S=jnp.asarray((C > 1.5).astype(np.float32)),
+                    active=st.active.at[:].set(True))
+    dec_path = tmp_path / "decisions.json"
+    dec_path.write_text(json.dumps({"rejected": [4], "kept": [0, 1, 2, 3],
+                                    "merge": [[0, 2]]}))
+
+    dec = json.loads(dec_path.read_text())
+    params = CNMFEParams()
+    out, nm = merge_pairs(st, params, dec["merge"], deconv=False)
+    assert nm == 1
+    out = delete_neurons(out, dec["rejected"])
+    out = compact(out)
+    # 5 neurons - 1 merged away - 1 rejected = 3
+    assert int(out.n_active()) == 3
+    # merged footprint holds the union support of (0, 2)
+    A_m = np.asarray(out.A)[np.asarray(out.active)]
+    union = (A[0] + A[2]) > 0.05
+    covered = (A_m.max(0) > 1e-4)[union].mean()
+    assert covered > 0.9
+
+
 def test_delete_neurons_masks_state():
     st = empty_state(6, 16, 16, 50)
     st = st.replace(active=jnp.asarray([True] * 5 + [False]),
