@@ -13,19 +13,34 @@ every coupling term goes through the K x K Gram. So this kernel tiles the
 row axis into VMEM and runs ALL sweeps on a resident tile: exactly one
 HBM read of (A, U) and one write of A for the entire multi-sweep solve,
 with the same blocked update order as the XLA path (fixed point AND
-iterate-for-iterate identical up to f32 rounding; pinned against the
-float64 oracle in tests/test_pallas_hals.py).
+iterate-for-iterate identical — bitwise 0 diff measured on-chip with the
+shipped HIGHEST-precision dots; pinned against the float64 oracle in
+tests/test_pallas_hals.py).
 
-Layout notes (the rules ops/pallas_ring.py learned the hard way):
+Layout/performance notes (extending the ops/pallas_ring.py rule list):
   * factors run ROW-major (K sublanes, row-axis lanes) — the native
     ``A.reshape(K, d)`` layout. Neuron indexing = dynamic SUBLANE
     offsets (unrestricted for f32); lanes are touched only by full-width
-    ops, so the 128-multiple dynamic-lane rule never triggers.
+    ops or TD-aligned DMA slices.
   * V is a symmetric Gram, so the block residual needs only sublane
     slices ``V[k0:k0+B, :]``; the in-block correction needs single
     COLUMNS of the diagonal block, which would be dynamic lane slices —
     those rows are precomputed outside as a (nb*B, B) stack indexed by
     sublane instead.
+  * the cost is LATENCY (tiles x sweeps x K sequential row updates), so
+    tile size directly divides wall time. The auto-blocked grid pipeline
+    DOUBLE-BUFFERS every operand (halving the feasible tile); inputs
+    therefore stay in HBM (explicit ``pltpu.HBM`` — ANY may spill them
+    into VMEM) and the kernel DMAs single-buffered tiles itself: 2-3
+    VMEM-resident buffers instead of 6-8 -> ~2x the tile width. The
+    ~25 us/tile serialized DMA is noise against the ~0.6 ms/tile solve.
+  * MXU dots inside kernels default to single-pass bf16; the sweeps
+    amplify that rounding (measured 0.14 abs drift on temporal Grams
+    with O(100) entries). ``Precision.HIGHEST`` (f32 emulation) is
+    bitwise-identical to the XLA path; Mosaic does NOT lower
+    ``Precision.HIGH``, so the only cheaper option is an explicit
+    bf16 hi/lo split (not worth it: a DEFAULT-dot diagnostic measured
+    the dots at a minority of kernel time).
   * one kernel serves both factors: spatial = relu + optional support
     mask, temporal = no relu; per-row gating (cc > 0, `active`) arrives
     as a float vector.
@@ -45,60 +60,72 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
                       has_mask: bool):
-    """Kernel body: X_ref (Kp, TD) updated in place through out_ref.
-
-    Args (refs): V (Kp, Kp) symmetric Gram; Vbb (nb*B, B) stacked
-    diagonal-block rows (Vbb[j*B+i, :] = V[k0+i, k0:k0+B]); cc (Kp, 1)
-    update denominators; gate (Kp, 1) 1.0 where the row updates;
-    U (Kp, TD); [mask (Kp, TD)]; X (Kp, TD); out (Kp, TD).
-    """
+    """Kernel body. VMEM refs: V (Kp, Kp) symmetric Gram; Vbb (nb*B, B)
+    stacked diagonal-block rows (Vbb[j*B+i, :] = V[k0+i, k0:k0+B]);
+    cc (Kp, 1) update denominators; gate (Kp, 1) 1.0 where the row
+    updates. HBM refs: U, [mask], X inputs and the out buffer, all
+    (Kp, dp); the kernel DMAs one (Kp, TD) tile of each in, solves every
+    sweep in place, and DMAs the tile back."""
     nb = Kp // B
 
     def kernel(*refs):
         if has_mask:
-            (V_ref, Vbb_ref, cc_ref, gate_ref, U_ref, mask_ref, X_ref,
-             out_ref, R_ref) = refs
+            (V_ref, Vbb_ref, cc_ref, gate_ref, U_hbm, mask_hbm, X_hbm,
+             out_hbm, Xs, Us, Ms, R_ref, sems) = refs
         else:
-            (V_ref, Vbb_ref, cc_ref, gate_ref, U_ref, X_ref, out_ref,
-             R_ref) = refs
-            mask_ref = None
+            (V_ref, Vbb_ref, cc_ref, gate_ref, U_hbm, X_hbm,
+             out_hbm, Xs, Us, R_ref, sems) = refs
+            mask_hbm = Ms = None
 
-        out_ref[:, :] = X_ref[:, :]
+        i = pl.program_id(0)
+        off = pl.multiple_of(i * TD, 128)
+        cp_x = pltpu.make_async_copy(X_hbm.at[:, pl.ds(off, TD)], Xs,
+                                     sems.at[0])
+        cp_u = pltpu.make_async_copy(U_hbm.at[:, pl.ds(off, TD)], Us,
+                                     sems.at[1])
+        cp_x.start()
+        cp_u.start()
+        if mask_hbm is not None:
+            cp_m = pltpu.make_async_copy(mask_hbm.at[:, pl.ds(off, TD)],
+                                         Ms, sems.at[2])
+            cp_m.start()
+            cp_m.wait()
+        cp_x.wait()
+        cp_u.wait()
+        if Ms is not None:
+            # zero masked-out entries of the initial iterate (the XLA
+            # path pre-applies the mask the same way)
+            Xs[:, :] = jnp.where(Ms[:, :] > 0, Xs[:, :], 0.0)
 
         def block_update(j, _):
             k0 = j * B
             Vb = V_ref[pl.ds(k0, B), :]                     # (B, Kp)
-            Ub = U_ref[pl.ds(k0, B), :]                     # (B, TD)
-            X0 = out_ref[pl.ds(k0, B), :]                   # snapshot
+            Ub = Us[pl.ds(k0, B), :]                        # (B, TD)
+            X0 = Xs[pl.ds(k0, B), :]                        # snapshot
             # block residual: one (B, Kp) x (Kp, TD) MXU matmul reads the
             # whole resident factor once per block; staged through VMEM
             # scratch so the inner loop's row access is a ref dynamic
             # slice (value dynamic_slice has no Mosaic lowering)
-            # Precision.HIGHEST: the MXU's default single-pass bf16
-            # rounding accumulates through the sequential sweeps (measured
-            # 0.14 abs drift vs the f32 oracle on temporal Grams whose
-            # entries are O(100)); full f32 emulation costs ~6 MXU passes
-            # on a FLOP count that is <1% of the Gram stage's
-            R_ref[:, :] = Ub - jnp.dot(Vb, out_ref[:, :],
+            R_ref[:, :] = Ub - jnp.dot(Vb, Xs[:, :],
                                        preferred_element_type=jnp.float32,
                                        precision=jax.lax.Precision.HIGHEST)
 
             def inner(i, _):
                 k = k0 + i
-                delta = out_ref[pl.ds(k0, B), :] - X0       # (B, TD)
+                delta = Xs[pl.ds(k0, B), :] - X0            # (B, TD)
                 w = Vbb_ref[pl.ds(j * B + i, 1), :]         # (1, B)
                 r = R_ref[pl.ds(i, 1), :] - jnp.dot(
                     w, delta, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                x_cur = out_ref[pl.ds(k, 1), :]             # (1, TD)
+                x_cur = Xs[pl.ds(k, 1), :]                  # (1, TD)
                 cc_k = cc_ref[pl.ds(k, 1), :]               # (1, 1)
                 xk = x_cur + r / jnp.maximum(cc_k, 1e-12)
                 if relu:
                     xk = jnp.maximum(xk, 0.0)
-                if mask_ref is not None:
-                    xk = jnp.where(mask_ref[pl.ds(k, 1), :] > 0, xk, 0.0)
+                if Ms is not None:
+                    xk = jnp.where(Ms[pl.ds(k, 1), :] > 0, xk, 0.0)
                 g = gate_ref[pl.ds(k, 1), :]                # (1, 1)
-                out_ref[pl.ds(k, 1), :] = g * xk + (1.0 - g) * x_cur
+                Xs[pl.ds(k, 1), :] = g * xk + (1.0 - g) * x_cur
                 return 0
 
             jax.lax.fori_loop(0, B, inner, 0)
@@ -110,19 +137,26 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
 
         jax.lax.fori_loop(0, n_iter, sweep, 0)
 
+        cp_out = pltpu.make_async_copy(Xs, out_hbm.at[:, pl.ds(off, TD)],
+                                       sems.at[0])
+        cp_out.start()
+        # single-buffered scratch: the next grid step's input DMA reuses
+        # Xs, so the write-back must complete before this step ends
+        cp_out.wait()
+
     return kernel
 
 
-def _pick_tile(Kp: int, dp: int, B: int,
+def _pick_tile(Kp: int, dp: int, B: int, has_mask: bool,
                budget_bytes: int = 14 * 2**20) -> int:
     """Largest 128-multiple row-tile fitting the 16 MB scoped-VMEM limit.
 
-    The grid pipeline DOUBLE-BUFFERS every blocked operand (measured:
-    a 3-buffer estimate compiled to 2x the expected allocation and OOMed),
-    so the three (Kp, TD) buffers (X, U, out) count six times, plus the
-    (B, TD) residual scratch, plus the unblocked V/Vbb/cc/gate."""
+    Single-buffered manual-DMA layout: the (Kp, TD) X and U tiles (plus
+    the optional mask tile) live once each, plus the (B, TD) residual
+    scratch and the unblocked V/Vbb/cc/gate."""
+    n_bufs = 2 + int(has_mask)
     fixed = Kp * Kp * 4 + 2 * Kp * B * 4 + 4 * Kp * 4 + 64 * 2**10
-    per_lane = (6 * Kp + B) * 4
+    per_lane = (n_bufs * Kp + B) * 4
     td = (budget_bytes - fixed) // per_lane
     td = max(128, min(int(td) // 128 * 128, dp))
     return td
@@ -157,7 +191,7 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
         if mask is not None:
             mask = jnp.pad(mask, ((0, Kp - K), (0, 0)))
 
-    TD = _pick_tile(Kp, -(-d // 128) * 128, B)
+    TD = _pick_tile(Kp, -(-d // 128) * 128, B, mask is not None)
     dp = -(-d // TD) * TD
     if dp != d:
         U = jnp.pad(U, ((0, 0), (0, dp - d)))
@@ -176,43 +210,38 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
         lambda j: jax.lax.dynamic_slice(V, (j * B, j * B), (B, B)))(jj)
     Vbb = Vbb.reshape(nb * B, B)
 
-    if mask is not None:
-        X = jnp.where(mask > 0, X, 0.0)
-
     n_tiles = dp // TD
-    row_specs = [
-        pl.BlockSpec((Kp, TD), lambda i: (0, i),
-                     memory_space=pltpu.VMEM)]
-    fixed_specs = [
-        pl.BlockSpec((Kp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb * B, B), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Kp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Kp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    in_specs = fixed_specs + row_specs                      # U
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [vmem(), vmem(), vmem(), vmem(), hbm()]      # V Vbb cc gate U
     args = [V, Vbb, cc, gate, U.astype(jnp.float32)]
     if mask is not None:
-        in_specs = in_specs + row_specs                     # mask
+        in_specs.append(hbm())
         args.append(mask.astype(jnp.float32))
-    in_specs = in_specs + row_specs                         # X
+    in_specs.append(hbm())                                  # X
     args.append(X.astype(jnp.float32))
+
+    scratch = [pltpu.VMEM((Kp, TD), jnp.float32),           # Xs
+               pltpu.VMEM((Kp, TD), jnp.float32)]           # Us
+    if mask is not None:
+        scratch.append(pltpu.VMEM((Kp, TD), jnp.float32))   # Ms
+    scratch += [pltpu.VMEM((B, TD), jnp.float32),           # R
+                pltpu.SemaphoreType.DMA((3,))]
 
     out = pl.pallas_call(
         _hals_rows_kernel(n_iter, B, Kp, TD, relu, mask is not None),
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Kp, TD), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((Kp, dp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, TD), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return out[:K, :d]
 
 
 def pallas_hals_eligible(K: int, block: int = 16) -> bool:
-    """The kernel holds V (and the three row tiles) in VMEM: past
+    """The kernel holds V (and the X/U row tiles) in VMEM: past
     K ~ 1024 the Gram alone crowds out the tiles — fall back to XLA."""
     Kp = -(-K // block) * block
     return Kp <= 1024 and jax.default_backend() in ("tpu", "axon")
