@@ -242,6 +242,11 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
 
 def pallas_hals_eligible(K: int, block: int = 16) -> bool:
     """The kernel holds V (and the X/U row tiles) in VMEM: past
-    K ~ 1024 the Gram alone crowds out the tiles — fall back to XLA."""
+    K ~ 1024 the Gram alone crowds out the tiles — fall back to XLA.
+    Multi-device processes also fall back: a pallas_call is opaque to the
+    SPMD partitioner, so sharded callers must run the XLA path (callers
+    under an explicit mesh already pass use_pallas=False)."""
     Kp = -(-K // block) * block
-    return Kp <= 1024 and jax.default_backend() in ("tpu", "axon")
+    return (Kp <= 1024
+            and jax.default_backend() in ("tpu", "axon")
+            and len(jax.devices()) == 1)
