@@ -10,6 +10,32 @@ from cnmf_e_tpu.utils.metrics import detection_f1, trace_corr
 from cnmf_e_tpu.utils.simulate import simulate_movie
 
 
+def test_prefetch_blocks_order_and_slicing(tmp_path, rng):
+    """The one-block-ahead prefetcher yields every block in order, as
+    device arrays, and its slicer path reproduces the strided host reads
+    the ring-Bf fit depends on."""
+    from cnmf_e_tpu.models.streaming import _prefetch_device_blocks
+    Y = rng.standard_normal((70, 8, 12)).astype(np.float32)
+    src = str(tmp_path / "m.npy")
+    np.save(src, Y)
+    store = distribute_movie(src, str(tmp_path / "s"), frames_per_block=16)
+
+    got = list(_prefetch_device_blocks(store))
+    assert [i for i, _ in got] == list(range(store.n_blocks()))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b) for _, b in got]), Y)
+
+    stride, fpb = 5, store.frames_per_block
+
+    def slicer(b, blk):
+        off = (-(b * fpb)) % stride
+        return np.ascontiguousarray(blk[off::stride])
+
+    got_s = np.concatenate([np.asarray(b) for _, b in
+                            _prefetch_device_blocks(store, slicer=slicer)])
+    np.testing.assert_array_equal(got_s, Y[::stride])
+
+
 @pytest.mark.slow
 def test_streaming_pipeline(tmp_path):
     gt = simulate_movie(seed=61, H=48, W=48, T=800, K=7, gSig=2.5,
