@@ -136,21 +136,45 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     # ---- init on a decimated proxy movie --------------------------------
     tsub = max(-(-T // init_budget_frames), 1)
     import dataclasses
-    # build the decimated proxy block-by-block (bounded host RAM)
+    ssub = max(int(params.init.ssub), 1)
+    # build the decimated proxy block-by-block (bounded host RAM); the
+    # spatial ssub pool also runs HOST-side — it cuts the tunnel upload
+    # by ssub^2 and avoids a movie-sized device op (a 6 GB eager
+    # box_downsample crashed the tunneled compile helper at 512^2x6000)
+    Hs, Ws = H // ssub, W // ssub
     parts = []
     offset = 0
     for Yb in store.iter_blocks_raw():
         first = (-offset) % tsub
-        parts.append(np.asarray(Yb)[first::tsub])
+        sl = np.asarray(Yb)[first::tsub].astype(np.float32)
+        if ssub > 1:
+            sl = sl[:, :Hs * ssub, :Ws * ssub].reshape(
+                sl.shape[0], Hs, ssub, Ws, ssub).mean(axis=(2, 4))
+        parts.append(sl)
         offset += Yb.shape[0]
     Y_proxy = np.concatenate(parts, axis=0)
     del parts
+    ip_init = dataclasses.replace(
+        params.init, tsub=1, ssub=1,
+        gSig=max(params.init.gSig / ssub, 0.0),
+        gSiz=max(int(params.init.gSiz // ssub), 3))
     state, info = initialize_greedy(
-        jnp.asarray(Y_proxy),
-        params.replace(init=dataclasses.replace(params.init, tsub=1)),
+        jnp.asarray(Y_proxy), params.replace(init=ip_init),
         verbose=verbose)
     del Y_proxy
-    log(f"init (tsub={tsub}): {int(state.n_active())} neurons")
+    if ssub > 1:
+        # upsample footprints to full resolution (the greedyROI_endoscope
+        # ssub semantics, initialize.py's in-memory path); traces are
+        # rebuilt from scratch at full T below, so only A/active/g carry
+        from cnmf_e_tpu.models.state import empty_state
+        K_cap0 = state.K_max
+        A_full = jax.image.resize(state.A, (K_cap0, H, W), method="linear")
+        st_full = empty_state(K_cap0, H, W, T, p=state.g.shape[1])
+        state = st_full.replace(
+            A=A_full * state.active[:, None, None], active=state.active,
+            g=state.g, neuron_sn=state.neuron_sn)
+    log(f"init (tsub={tsub}, ssub={ssub}): "
+        f"{int(state.n_active())} neurons")
 
     # expand traces to full T by per-block projection below; start zeros
     K_cap = state.K_max

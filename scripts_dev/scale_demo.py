@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--store", default="/tmp/scale_store")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--n-outer", type=int, default=2)
+    ap.add_argument("--init-budget", type=int, default=None,
+                    help="proxy init frame budget (default 2000; the full "
+                         "config uses 6000 — at half-res ssub=2 the "
+                         "bigger proxy fits HBM and keeps the temporal "
+                         "decimation near the shakeout's tsub=10 regime)")
     ap.add_argument("--merge-thr", type=float, default=0.65,
                     help="trace-correlation gate for distance merges; "
                          "raise for sparse-activity recordings whose "
@@ -70,16 +75,23 @@ def main():
     params = CNMFEParams(
         init=InitParams(gSig=3.0, gSiz=10, min_corr=0.8, min_pnr=8.0,
                         max_neurons=2304 if not args.small else 640,
-                        seeds_per_round=256, max_rounds=12),
+                        seeds_per_round=256, max_rounds=12,
+                        # full config: init on the half-res proxy
+                        # (greedyROI_endoscope ssub semantics) — a
+                        # full-res 512^2 proxy init carries 3 movie
+                        # copies + 2.4 GB of footprint slots and
+                        # exhausts the single chip's HBM
+                        ssub=1 if args.small else 2),
         background=BackgroundParams(model="ring", ring_radius=9,
                                     frame_cap_factor=25),
         merge=MergeParams(dmin=4.0, merge_thr=args.merge_thr),
     )
 
+    budget = args.init_budget or (2000 if args.small else 6000)
     print("device mem before:", device_mem(), flush=True)
     t0 = time.perf_counter()
     state = fit_streaming(store, params, n_outer=args.n_outer,
-                          init_budget_frames=2000, verbose=True)
+                          init_budget_frames=budget, verbose=True)
     dt = time.perf_counter() - t0
     n = int(np.asarray(state.active).sum())
     mem = device_mem()
