@@ -52,35 +52,50 @@ def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
 # 100 blocks before any compute).
 
 
-def _prefetch_device_blocks(store: MovieStore, slicer=None):
-    """Iterate blocks with one-block-ahead disk read + device upload.
+def _prefetch_device_blocks(store: MovieStore, slicer=None,
+                            sub_blocks: int = 1):
+    """Iterate frame chunks with one-chunk-ahead disk read + device upload.
 
     The tunneled host->device transfer is the measured wall of the
-    streaming fit (SCALE.md); a worker thread reads block i+1 from disk
-    and starts its ``jax.device_put`` while the (async-dispatched) block-i
-    program runs, so transfer and compute overlap. Exactly one extra block
-    is in flight — bounded HBM. ``slicer(i, memmap) -> ndarray`` lets a
+    streaming fit (SCALE.md); a worker thread reads chunk i+1 from disk
+    and starts its ``jax.device_put`` while the (async-dispatched) chunk-i
+    program runs, so transfer and compute overlap. Exactly one extra chunk
+    is in flight — bounded HBM. ``slicer(t0, memmap) -> ndarray`` lets a
     pass upload only the frames it needs (the strided ring-Bf fit).
+    ``sub_blocks`` splits each stored block into that many chunks: at
+    512^2 a 1000-frame block costs ~1 GB as f32 on device and its block
+    program another ~3 GB of transients — halving the chunk keeps the
+    full-scale peak inside the 16 GB chip.
 
+    Yields ``(t0, device_array)`` with t0 the chunk's global start frame.
     Matches the reference's chunked-ingest discipline
     (``distribute_data.m:176``) with the chunk pipeline a worker thread.
     """
     import concurrent.futures as cf
 
-    n = store.n_blocks()
+    fpb = store.frames_per_block
+    T = store.shape[0]
+    jobs = []
+    for i in range(store.n_blocks()):
+        nb = min(fpb, T - i * fpb)
+        step = -(-nb // max(sub_blocks, 1))
+        for s0 in range(0, nb, step):
+            jobs.append((i, s0, min(step, nb - s0)))
 
-    def load(i):
-        blk = store.read_block(i)
-        blk = slicer(i, blk) if slicer is not None else np.asarray(blk)
-        return jax.device_put(blk)
+    def load(job):
+        i, s0, n = job
+        blk = store.read_block(i)[s0:s0 + n]
+        chunk = slicer(i * fpb + s0, blk) if slicer is not None \
+            else np.asarray(blk)
+        return jax.device_put(chunk)
 
     with cf.ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(load, 0)
-        for i in range(n):
+        fut = ex.submit(load, jobs[0])
+        for j, job in enumerate(jobs):
             cur = fut.result()
-            if i + 1 < n:
-                fut = ex.submit(load, i + 1)
-            yield i, cur
+            if j + 1 < len(jobs):
+                fut = ex.submit(load, jobs[j + 1])
+            yield job[0] * fpb + job[1], cur
 
 
 @jax.jit
@@ -162,6 +177,9 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         jnp.asarray(Y_proxy), params.replace(init=ip_init),
         verbose=verbose)
     del Y_proxy
+    # the proxy-sized residual movie in the init report would otherwise
+    # stay live for the whole fit (~1.3 GB at full scale)
+    info.pop("residual_Y", None)
     if ssub > 1:
         # upsample footprints to full resolution (the greedyROI_endoscope
         # ssub semantics, initialize.py's in-memory path); traces are
@@ -169,7 +187,10 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         from cnmf_e_tpu.models.state import empty_state
         K_cap0 = state.K_max
         A_full = jax.image.resize(state.A, (K_cap0, H, W), method="linear")
-        st_full = empty_state(K_cap0, H, W, T, p=state.g.shape[1])
+        # T=1 placeholder traces: the caller replaces C/C_raw/S with
+        # full-T zeros right below — allocating them twice costs ~5.5 GB
+        # transiently at full scale
+        st_full = empty_state(K_cap0, H, W, 1, p=state.g.shape[1])
         state = st_full.replace(
             A=A_full * state.active[:, None, None], active=state.active,
             g=state.g, neuron_sn=state.neuron_sn)
@@ -183,22 +204,36 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         C_raw=jnp.zeros((K_cap, T), jnp.float32),
         S=jnp.zeros((K_cap, T), jnp.float32))
 
+    fpb = store.frames_per_block
+
     # ---- pixel noise (cached; reads only the first noise_frame_cap) -----
     sn_pix = store.load_noise()
     if sn_pix is None:
         cap = min(params.noise_frame_cap, T)
         from cnmf_e_tpu.ops.noise import noise_psd_frames
-        sn_pix = np.asarray(noise_psd_frames(
-            jnp.asarray(store.read_frames(0, cap))))
+        Yn = store.read_frames(0, cap)
+        # row-band chunks: a (3000, 512, 512) f32 upload plus the PSD
+        # program's transposed copy is ~7 GB next to the full-T state
+        rows = max(1, min(H, int((512 << 20) // max(cap * W * 4, 1))))
+        sn_rows = [np.asarray(noise_psd_frames(
+            jnp.asarray(Yn[:, h0:h0 + rows])))
+            for h0 in range(0, H, rows)]
+        sn_pix = np.concatenate(sn_rows, axis=0)
+        del Yn, sn_rows
         store.save_noise(sn_pix)
     sn_pix = jnp.asarray(sn_pix)
 
+    # fit_streaming maintains A and C pre-masked (init masks A, every
+    # spatial/temporal update re-applies `active`, merges zero dropped
+    # slots), so state.A / state.C are used directly below — masked_A()
+    # would allocate a second 2.4 GB footprint array at full scale
+    sub_blocks = max(1, int(round(fpb * H * W * 4 / (512 << 20))))
+
     weights = None
     Ymean = None
-    fpb = store.frames_per_block
 
     for it in range(n_outer):
-        A = state.masked_A()
+        A = state.A
 
         # ---- temporal pass 1: Gram-accumulated HALS over blocks ---------
         # U = A^T Ysig accumulates per block (K x T fits on device even at
@@ -207,14 +242,16 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # EXACTLY as in-memory. A diagonal projection (A Ysig)/||a||^2
         # would leave overlapping neurons' traces correlated and biased.
         Ad = A.reshape(K_cap, -1)
-        aa = jnp.sum(Ad * Ad, axis=1)
         V = Ad @ Ad.T                                        # (K, K)
+        aa = jnp.diag(V)   # NOT sum(Ad*Ad): that materializes a (K, d)
+        #                    temp — 2.4 GB at full scale
         U_parts = []
         if weights is None:
             # first pass doubles as the mean-image accumulation (the
             # mean-subtraction of U is a separable rank-1 correction)
             acc = jnp.zeros((H, W), jnp.float32)
-            for b, Yb in _prefetch_device_blocks(store):
+            for t0, Yb in _prefetch_device_blocks(store,
+                                                  sub_blocks=sub_blocks):
                 Ub, s = _block_temporal_U_raw(Yb, Ad)
                 U_parts.append(Ub)
                 acc = acc + s
@@ -222,8 +259,9 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             U = (jnp.concatenate(U_parts, axis=1)
                  - (Ad @ Ymean.reshape(-1))[:, None])        # (K, T)
         else:
-            for b, Yb in _prefetch_device_blocks(store):
-                C_blk = state.C[:, b * fpb:b * fpb + Yb.shape[0]]
+            for t0, Yb in _prefetch_device_blocks(store,
+                                                  sub_blocks=sub_blocks):
+                C_blk = state.C[:, t0:t0 + Yb.shape[0]]
                 U_parts.append(_block_temporal_U_ring(
                     Yb, Ad, A, C_blk, state.b0, weights, radius, H, W))
             U = jnp.concatenate(U_parts, axis=1)             # (K, T)
@@ -244,7 +282,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         log(f"iter {it}: traces ({int(state.n_active())} neurons)")
 
         # ---- ring background fit (streamed Bf blocks) -------------------
-        Cmean = jnp.mean(state.masked_C(), axis=-1)
+        Cmean = jnp.mean(state.C, axis=-1)
         b0 = Ymean - jnp.einsum("khw,k->hw", A, Cmean)
         state = state.replace(b0=b0)
         R = ring_offsets(radius).shape[0]
@@ -253,16 +291,16 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # subsample frames across blocks for the weight fit: the host
         # reads ONLY the stride-grid rows of each block (memmap row
         # gather), so this pass uploads ~1/stride of the movie
-        Cc = state.masked_C() - Cmean[:, None]
+        Cc = state.C - Cmean[:, None]
         Cc_s = Cc[:, ::stride]
 
-        def bf_slicer(b, blk):
-            off = (-(b * fpb)) % stride
+        def bf_slicer(t0, blk):
+            off = (-t0) % stride
             return np.ascontiguousarray(blk[off::stride])
 
         Bf_rows = []
-        for b, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer):
-            j0 = -(-(b * fpb) // stride)     # first global grid col here
+        for t0, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer):
+            j0 = -(-t0 // stride)            # first global grid col here
             Bf_rows.append(_block_Bf(Yb_s, A, Cc_s, Ymean, j0))
         Bf_fit = jnp.concatenate(Bf_rows, axis=0)
         weights = fit_ring_weights(Bf_fit, H, W, radius,
@@ -272,10 +310,11 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         log(f"iter {it}: ring background fit")
 
         # ---- spatial: streamed Gram accumulation ------------------------
-        C = state.masked_C()
+        C = state.C
         U = jnp.zeros((H * W, K_cap), jnp.float32)
-        for b, Yb in _prefetch_device_blocks(store):
-            C_blk = C[:, b * fpb:b * fpb + Yb.shape[0]]
+        for t0, Yb in _prefetch_device_blocks(store,
+                                              sub_blocks=sub_blocks):
+            C_blk = C[:, t0:t0 + Yb.shape[0]]
             U = _block_spatial_U(U, Yb, A, C_blk, state.b0, weights,
                                  radius, H, W)
         # HALS sweeps on the accumulated Grams — the same blocked

@@ -72,22 +72,25 @@ def main():
     print(f"store ready in {t_synth:.0f}s: {store.shape} "
           f"({store.n_blocks()} blocks)", flush=True)
 
+    # full config: init on a half-res proxy (greedyROI_endoscope ssub
+    # semantics) — a full-res 512^2 proxy init carries 3 movie copies +
+    # 2.4 GB of footprint slots and exhausts the single chip's HBM; the
+    # slightly relaxed corr/pnr gates compensate the tsub~20 decimation
+    # (QC + peak-distance dedup keep precision)
     params = CNMFEParams(
-        init=InitParams(gSig=3.0, gSiz=10, min_corr=0.8, min_pnr=8.0,
+        init=InitParams(gSig=3.0, gSiz=10,
+                        min_corr=0.8 if args.small else 0.75,
+                        min_pnr=8.0 if args.small else 7.0,
                         max_neurons=2304 if not args.small else 640,
-                        seeds_per_round=256, max_rounds=12,
-                        # full config: init on the half-res proxy
-                        # (greedyROI_endoscope ssub semantics) — a
-                        # full-res 512^2 proxy init carries 3 movie
-                        # copies + 2.4 GB of footprint slots and
-                        # exhausts the single chip's HBM
+                        seeds_per_round=256 if args.small else 128,
+                        max_rounds=12 if args.small else 24,
                         ssub=1 if args.small else 2),
         background=BackgroundParams(model="ring", ring_radius=9,
                                     frame_cap_factor=25),
         merge=MergeParams(dmin=4.0, merge_thr=args.merge_thr),
     )
 
-    budget = args.init_budget or (2000 if args.small else 6000)
+    budget = args.init_budget or (2000 if args.small else 5000)
     print("device mem before:", device_mem(), flush=True)
     t0 = time.perf_counter()
     state = fit_streaming(store, params, n_outer=args.n_outer,

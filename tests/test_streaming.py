@@ -21,14 +21,21 @@ def test_prefetch_blocks_order_and_slicing(tmp_path, rng):
     store = distribute_movie(src, str(tmp_path / "s"), frames_per_block=16)
 
     got = list(_prefetch_device_blocks(store))
-    assert [i for i, _ in got] == list(range(store.n_blocks()))
+    fpb = store.frames_per_block
+    assert [t0 for t0, _ in got] == \
+        [i * fpb for i in range(store.n_blocks())]
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(b) for _, b in got]), Y)
+    # sub-block splitting covers every frame exactly once, in order
+    got3 = list(_prefetch_device_blocks(store, sub_blocks=3))
+    assert [t0 for t0, _ in got3] == sorted(t0 for t0, _ in got3)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b) for _, b in got3]), Y)
 
-    stride, fpb = 5, store.frames_per_block
+    stride = 5
 
-    def slicer(b, blk):
-        off = (-(b * fpb)) % stride
+    def slicer(t0, blk):
+        off = (-t0) % stride
         return np.ascontiguousarray(blk[off::stride])
 
     got_s = np.concatenate([np.asarray(b) for _, b in
