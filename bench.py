@@ -107,6 +107,10 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
     for k in range(K):
         cy, cx = rng.uniform(10, H - 10), rng.uniform(10, W - 10)
         A[k] = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+    # compact support, like real (relu'd + trimmed) pipeline footprints —
+    # the colored variant's free-block structure comes from footprint
+    # disjointness, which dense synthetic Gaussians would hide
+    A[A < 1e-3] = 0.0
     C = np.abs(rng.standard_normal((K, T))).astype(np.float32)
 
     st = StepState(
@@ -124,6 +128,13 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         "deconv_every_1": dict(chain=n_iter),
         "deconv_every_5": dict(chain=n_iter, deconv_every=5),
         "deconv_every_10": dict(chain=n_iter, deconv_every=n_iter),
+        # HEADLINE since r4: the colored update — search-location-masked
+        # spatial HALS (determine_search_location.m) + the reference's
+        # independent-set ordering (update_order.m:1-21) so the fused
+        # Pallas kernel updates non-overlapping neurons vectorized
+        # (bitwise-equal to the sequential sweep; tests/test_coloring.py)
+        "colored_every_5": dict(chain=n_iter, deconv_every=5,
+                                colored=True),
     }
     variants = {}
     for name, kw in configs.items():
@@ -165,7 +176,7 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         iter_ms = H * W * T / (mpfs * 1e6) * 1e3
         roofline[f"iter_ms_{name}"] = round(iter_ms, 2)
     roofline["pct_of_floor_headline"] = round(
-        100.0 * floor_ms / roofline["iter_ms_deconv_every_5"], 1)
+        100.0 * floor_ms / roofline["iter_ms_colored_every_5"], 1)
     return variants, roofline
 
 
@@ -225,7 +236,7 @@ def main():
     enable_compilation_cache()
 
     variants, roofline = bench_hals()
-    hals = variants["deconv_every_5"]
+    hals = variants["colored_every_5"]
     pipe, pipe_s, n = bench_pipeline()
     baseline = 256 * 256 * 2000 / 10.0 / 1e6  # reference 2p demo estimate
     out = {

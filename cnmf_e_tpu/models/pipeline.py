@@ -82,10 +82,20 @@ class CNMFE:
         _print = self._log(verbose)
         if run_log is not None:
             def log(msg):
+                if callable(msg):
+                    msg = msg()
                 _print(msg)
                 run_log.log(msg)
+        elif verbose:
+            def log(msg):
+                _print(msg() if callable(msg) else msg)
         else:
-            log = _print
+            # logging disabled: never evaluate the message — several
+            # messages embed ``int(state.n_active())``, a device->host
+            # fetch that would force a sync in the async dispatch
+            # pipeline (PERF.md: per-stage syncs serialize it)
+            def log(msg):
+                pass
         t0 = time.time()
 
         ref = []
@@ -98,7 +108,7 @@ class CNMFE:
             from cnmf_e_tpu.checkpoint import restore_state
             T, H, W = Y.shape
             state = restore_state(resume_from, p.init.max_neurons, H, W, T)
-            log(f"resumed {int(state.n_active())} neurons from "
+            log(lambda: f"resumed {int(state.n_active())} neurons from "
                 f"{resume_from}")
         else:
             # --- initialization ---------------------------------------- #
@@ -107,7 +117,7 @@ class CNMFE:
                 state, info = initialize_greedy(Y, p, verbose=verbose)
                 ref.append(state)
             self.info.update(Cn=info["Cn"], PNR=info["PNR"])
-            log(f"init: {int(state.n_active())} neurons "
+            log(lambda: f"init: {int(state.n_active())} neurons "
                 f"({time.time() - t0:.1f}s)")
 
             ref = []
@@ -134,7 +144,8 @@ class CNMFE:
                     resid, p, state=state, min_corr=p.init.min_corr_res,
                     min_pnr=p.init.min_pnr_res, verbose=verbose)
                 ref.append(state)
-            log(f"residual pick: total {int(state.n_active())} neurons "
+            log(lambda: f"residual pick: total "
+                f"{int(state.n_active())} neurons "
                 f"({time.time() - t0:.1f}s)")
 
         # --- refinement (demo_large_data_1p.m order) -------------------- #
@@ -168,7 +179,8 @@ class CNMFE:
             with _st("spatial", ref):
                 state = update_spatial(Ysig, state, p)
                 ref.append(state)
-            log(f"iter {it}: temporal + QC + merge({nm}) + spatial, "
+            log(lambda it=it, nm=nm, state=state:
+                f"iter {it}: temporal + QC + merge({nm}) + spatial, "
                 f"{int(state.n_active())} neurons ({time.time() - t0:.1f}s)")
 
         # fold co-located duplicates (ghosts from the residual pick) into
@@ -217,7 +229,7 @@ class CNMFE:
                 state = remove_false_positives(state, p)
         state = tag_neurons(state, p)
         state = compact(state)
-        log(f"done: {int(state.n_active())} neurons "
+        log(lambda: f"done: {int(state.n_active())} neurons "
             f"({time.time() - t0:.1f}s)")
         if run_log is not None:
             run_log.snapshot("final", state)

@@ -46,11 +46,16 @@ def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
     Ad = A.reshape(K, H * W).T                      # (d, K)
     Md = masks.reshape(K, H * W).T                  # (d, K)
 
+    # colored=True: the reference's independent-set ordering
+    # (update_order.m:1-21) lets the fused TPU kernel update
+    # non-overlapping neurons simultaneously (tests/test_coloring.py)
     if sp.algorithm == "hals":
-        Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter)
+        Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter,
+                          colored=True)
     elif sp.algorithm == "hals_thresh":
         # HALS then zero sub-noise weights (HALS_spatial_thresh.m)
-        Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter)
+        Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter,
+                          colored=True)
         cnorm = jnp.sqrt(jnp.sum(C * C, axis=-1))          # (K,)
         sn_pix = jnp.std(Yd - Ad @ C, axis=-1, keepdims=True)
         Ad = jnp.where(Ad * cnorm[None, :] > sn_pix, Ad, 0.0)

@@ -33,8 +33,10 @@ def update_temporal(Ysignal: jnp.ndarray, state: CNMFEState,
     Yd = Ysignal.reshape(T, H * W).T               # (d, T)
     Ad = A.reshape(K, H * W).T                     # (d, K)
 
+    # colored=True: footprint-overlap independent-set ordering
+    # (update_order.m:1-21) for the fused kernel's vectorized path
     C_raw, aa = hals_temporal(Yd, Ad, state.masked_C(), n_iter=tp.n_iter,
-                              active=state.active)
+                              active=state.active, colored=True)
 
     # per-trace baseline: mean of sub-median samples (HALS_temporal.m:79)
     from cnmf_e_tpu.ops.stats import submedian_mean

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                         mask: Optional[jnp.ndarray] = None,
                         n_iter: int = 5, block: int = 16,
-                        use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                        use_pallas: Optional[bool] = None,
+                        flags: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Gauss-Seidel spatial sweeps given precomputed Grams.
 
     On a single TPU the multi-sweep solve dispatches to the fused Pallas
@@ -48,7 +49,7 @@ def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
         out = hals_sweeps_rows_pallas(
             U.T, V, A.T, gate=jnp.ones(K, jnp.float32),
             mask=None if mask is None else mask.T,
-            n_iter=n_iter, block=block, relu=True)
+            n_iter=n_iter, block=block, relu=True, flags=flags)
         return out.T
     cc = jnp.diag(V)
     if mask is not None:
@@ -98,7 +99,8 @@ def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
 def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                              mask: Optional[jnp.ndarray] = None,
                              n_iter: int = 5, block: int = 16,
-                             use_pallas: Optional[bool] = None
+                             use_pallas: Optional[bool] = None,
+                             flags: Optional[jnp.ndarray] = None
                              ) -> jnp.ndarray:
     """Row-major spatial sweeps: A, U are (K, d) — the native
     ``A.reshape(K, d)`` layout. On a single TPU the whole multi-sweep
@@ -106,7 +108,13 @@ def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
     (one HBM read of A/U instead of ~n_iter x K/block — the round-3
     latency bottleneck, PERF.md §1); elsewhere it falls back to the
     blocked XLA path via transposes. Callers running under a device mesh
-    must pass ``use_pallas=False`` (pallas_call does not partition)."""
+    must pass ``use_pallas=False`` (pallas_call does not partition).
+
+    ``flags``: optional per-block independence flags (from
+    ``ops.coloring.block_free_flags`` on the MASK-overlap graph) enabling
+    the kernel's vectorized free-block path — bitwise identical, only
+    faster (update_order.m semantics). Ignored on the XLA path (whose
+    sequential sweep gives the same result by construction)."""
     from cnmf_e_tpu.ops.pallas_hals import (hals_sweeps_rows_pallas,
                                             pallas_hals_eligible)
     if use_pallas is None:
@@ -114,35 +122,54 @@ def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
     if use_pallas:
         return hals_sweeps_rows_pallas(
             U, V, A, gate=jnp.ones(A.shape[0], jnp.float32), mask=mask,
-            n_iter=n_iter, block=block, relu=True)
+            n_iter=n_iter, block=block, relu=True, flags=flags)
     out = hals_spatial_sweeps(U.T, V, A.T,
                               mask=None if mask is None else mask.T,
                               n_iter=n_iter, block=block, use_pallas=False)
     return out.T
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(jax.jit, static_argnames=("n_iter", "colored"))
 def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
-                 n_iter: int = 5) -> jnp.ndarray:
+                 n_iter: int = 5, colored: bool = False) -> jnp.ndarray:
     """Update A given C:  A <- max(0, A + (U - A V) / diag(V)) per neuron.
 
     Y: (d, T) background-subtracted data; A: (d, K); C: (K, T);
     mask: (d, K) search-location mask (True = allowed support).
     Means are removed from Y and C first (HALS_spatial.m:28-32).
+
+    ``colored`` (requires ``mask``): order neurons by a greedy coloring
+    of the mask-overlap graph so pairwise-independent rows share sweep
+    blocks, and pass free-block flags to the fused Pallas kernel — the
+    reference's independent-set update (``utilities/update_order.m:1-21``)
+    on the masked spatial factor. The sweep result equals sequential
+    Gauss-Seidel over the colored ordering (bitwise on the Pallas path).
     """
     T = Y.shape[-1]
     Ymean = jnp.mean(Y, axis=1, keepdims=True)
     Cmean = jnp.mean(C, axis=1, keepdims=True)
     U = (Y @ C.T - T * (Ymean @ Cmean.T)).astype(A.dtype)   # (d, K)
     V = (C @ C.T - T * (Cmean @ Cmean.T)).astype(A.dtype)   # (K, K)
-    return hals_spatial_sweeps(U, V, A, mask=mask, n_iter=n_iter)
+    if not (colored and mask is not None):
+        return hals_spatial_sweeps(U, V, A, mask=mask, n_iter=n_iter)
+    from cnmf_e_tpu.ops.coloring import (block_free_flags, color_order,
+                                         overlap_adjacency)
+    M = mask.T                                              # (K, d)
+    order, inverse = color_order(overlap_adjacency(M))
+    Mf = M[order].astype(jnp.float32)
+    flags = block_free_flags(Mf @ Mf.T, block=16)
+    out = hals_spatial_sweeps(U[:, order], V[order][:, order],
+                              A[:, order], mask=mask[:, order],
+                              n_iter=n_iter, flags=flags)
+    return out[:, inverse]
 
 
 def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
                          n_iter: int = 5,
                          active: Optional[jnp.ndarray] = None,
-                         use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                         use_pallas: Optional[bool] = None,
+                         flags: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Gauss-Seidel temporal sweeps given precomputed Grams.
 
     U = A^T Ysig (K, T), V = A^T A (K, K); U stays fixed across sweeps
@@ -160,7 +187,8 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
         gate = (active if active is not None
                 else jnp.ones(C.shape[0], jnp.float32))
         return hals_sweeps_rows_pallas(U, V, C, gate=gate,
-                                       n_iter=n_iter, relu=False)
+                                       n_iter=n_iter, relu=False,
+                                       flags=flags)
     aa = jnp.diag(V)
 
     def neuron_update(k, C):
@@ -176,10 +204,11 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
     return jax.lax.fori_loop(0, n_iter, sweep, C)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(jax.jit, static_argnames=("n_iter", "colored"))
 def hals_temporal(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
                   n_iter: int = 5,
-                  active: Optional[jnp.ndarray] = None
+                  active: Optional[jnp.ndarray] = None,
+                  colored: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Update C given A:  c_k <- c_k + (U_k - V_k C) / aa_k (no deconvolution).
 
@@ -187,11 +216,29 @@ def hals_temporal(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
     (the cross-patch reduction weights of the reference). Deconvolution /
     baseline handling is applied by the caller on C_raw
     (HALS_temporal.m:58-107 folds it per neuron; we batch it over neurons).
+
+    ``colored``: order neurons by a greedy coloring of the footprint
+    overlap graph (V = A^T A has EXACT zeros for disjoint footprints) and
+    flag independent sweep blocks for the Pallas kernel's vectorized path
+    (``utilities/update_order.m:1-21`` semantics).
     """
     U = (A.T @ Y).astype(C.dtype)          # (K, T)
     V = (A.T @ A).astype(C.dtype)          # (K, K)
-    C = hals_temporal_sweeps(U, V, C, n_iter=n_iter, active=active)
-    return C, jnp.diag(V)
+    if not colored:
+        C = hals_temporal_sweeps(U, V, C, n_iter=n_iter, active=active)
+        return C, jnp.diag(V)
+    from cnmf_e_tpu.ops.coloring import (block_free_flags, color_order)
+    K = V.shape[0]
+    adj = (V != 0) & ~jnp.eye(K, dtype=bool)
+    order, inverse = color_order(adj)
+    Vp = V[order][:, order]
+    act = None if active is None else active[order]
+    gate = (act.astype(jnp.float32) if act is not None
+            else jnp.ones(K, jnp.float32))
+    flags = block_free_flags(Vp, block=16, gate=gate)
+    out = hals_temporal_sweeps(U[order], Vp, C[order],
+                               n_iter=n_iter, active=act, flags=flags)
+    return out[inverse], jnp.diag(V)
 
 
 def hals_nmf(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,

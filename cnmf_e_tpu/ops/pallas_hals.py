@@ -44,6 +44,18 @@ Layout/performance notes (extending the ops/pallas_ring.py rule list):
   * one kernel serves both factors: spatial = relu + optional support
     mask, temporal = no relu; per-row gating (cc > 0, `active`) arrives
     as a float vector.
+  * FREE-BLOCK fast path (``flags``): a block whose rows are pairwise
+    non-interacting — zero Gram coupling for the temporal factor,
+    disjoint support masks for the spatial one — updates all B rows in
+    ONE vectorized step instead of B sequential rank-1 updates, bitwise
+    identically (the sequential correction dot sums exact zeros). This
+    is the reference's own independent-set trick
+    (``utilities/update_order.m:1-21``, used by
+    ``update_temporal_components.m`` to batch non-overlapping neurons)
+    recast for the TPU: the caller orders neurons by a greedy coloring
+    of the overlap graph so blocks are single-color, and passes a
+    per-block flag; the sequential-update latency (the round-3/4
+    bottleneck) collapses from K to ~n_blocks steps.
 """
 
 from __future__ import annotations
@@ -59,16 +71,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
-                      has_mask: bool):
+                      has_mask: bool, has_flags: bool):
     """Kernel body. VMEM refs: V (Kp, Kp) symmetric Gram; Vbb (nb*B, B)
     stacked diagonal-block rows (Vbb[j*B+i, :] = V[k0+i, k0:k0+B]);
     cc (Kp, 1) update denominators; gate (Kp, 1) 1.0 where the row
-    updates. HBM refs: U, [mask], X inputs and the out buffer, all
-    (Kp, dp); the kernel DMAs one (Kp, TD) tile of each in, solves every
-    sweep in place, and DMAs the tile back."""
+    updates. SMEM (when ``has_flags``): flags (nb,) int32, 1 = the block's
+    rows are pairwise independent (free-block vectorized update). HBM
+    refs: U, [mask], X inputs and the out buffer, all (Kp, dp); the
+    kernel DMAs one (Kp, TD) tile of each in, solves every sweep in
+    place, and DMAs the tile back."""
     nb = Kp // B
 
     def kernel(*refs):
+        flags_ref = None
+        if has_flags:
+            flags_ref, refs = refs[0], refs[1:]
         if has_mask:
             (V_ref, Vbb_ref, cc_ref, gate_ref, U_hbm, mask_hbm, X_hbm,
              out_hbm, Xs, Us, Ms, R_ref, sems) = refs
@@ -128,7 +145,27 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
                 Xs[pl.ds(k, 1), :] = g * xk + (1.0 - g) * x_cur
                 return 0
 
-            jax.lax.fori_loop(0, B, inner, 0)
+            if flags_ref is None:
+                jax.lax.fori_loop(0, B, inner, 0)
+                return 0
+
+            # free-block fast path: all B rows update in one vectorized
+            # step when the caller certifies pairwise independence —
+            # bitwise identical to the sequential loop (its correction
+            # dot would sum exact zeros). Mixed blocks take the
+            # sequential loop via a traced trip count (no lax.cond).
+            free = (flags_ref[j] > 0).astype(jnp.float32)
+            ccb = cc_ref[pl.ds(k0, B), :]                   # (B, 1)
+            gb = gate_ref[pl.ds(k0, B), :]                  # (B, 1)
+            xv = X0 + R_ref[:, :] / jnp.maximum(ccb, 1e-12)
+            if relu:
+                xv = jnp.maximum(xv, 0.0)
+            if Ms is not None:
+                xv = jnp.where(Ms[pl.ds(k0, B), :] > 0, xv, 0.0)
+            xv = gb * xv + (1.0 - gb) * X0
+            Xs[pl.ds(k0, B), :] = free * xv + (1.0 - free) * X0
+            n_inner = jnp.where(free > 0, 0, B)
+            jax.lax.fori_loop(0, n_inner, inner, 0)
             return 0
 
         def sweep(_, carry):
@@ -148,15 +185,21 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
 
 
 def _pick_tile(Kp: int, dp: int, B: int, has_mask: bool,
+               has_flags: bool = False,
                budget_bytes: int = 14 * 2**20) -> int:
     """Largest 128-multiple row-tile fitting the 16 MB scoped-VMEM limit.
 
     Single-buffered manual-DMA layout: the (Kp, TD) X and U tiles (plus
     the optional mask tile) live once each, plus the (B, TD) residual
-    scratch and the unblocked V/Vbb/cc/gate."""
+    scratch and the unblocked V/Vbb/cc/gate. The free-block path keeps a
+    handful of extra (B, TD) temporaries live (the vectorized candidate
+    and its select chain) — measured 1.2 MB over the old estimate at
+    bench shapes, budgeted as 5 B-rows per lane."""
     n_bufs = 2 + int(has_mask)
     fixed = Kp * Kp * 4 + 2 * Kp * B * 4 + 4 * Kp * 4 + 64 * 2**10
     per_lane = (n_bufs * Kp + B) * 4
+    if has_flags:
+        per_lane += 5 * B * 4
     td = (budget_bytes - fixed) // per_lane
     td = max(128, min(int(td) // 128 * 128, dp))
     return td
@@ -169,18 +212,38 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
                             mask: Optional[jnp.ndarray] = None,
                             n_iter: int = 5, block: int = 16,
                             relu: bool = True,
+                            flags: Optional[jnp.ndarray] = None,
                             interpret: bool = False) -> jnp.ndarray:
     """Run ``n_iter`` blocked Gauss-Seidel sweeps on row-major factors.
 
     X, U: (K, d) — rows are neurons; V: (K, K) symmetric Gram;
     gate: (K,) bool/float — rows with gate == 0 keep their input value
     (covers the XLA path's ``cc > 0`` and ``active`` guards);
-    mask: optional (K, d) support mask (spatial search locations).
+    mask: optional (K, d) support mask (spatial search locations);
+    flags: optional (ceil(K/block),) int — 1 marks a block whose ACTIVE
+    rows are pairwise independent (zero Gram coupling, or disjoint masks
+    for the masked spatial factor): it updates vectorized instead of
+    sequentially, bitwise identically. Produce flags + a color ordering
+    with :mod:`cnmf_e_tpu.ops.coloring` (reference:
+    ``utilities/update_order.m:1-21``).
 
     Returns the updated (K, d) factor. Update order and arithmetic match
     ``ops.hals.hals_spatial_sweeps`` / ``hals_temporal_sweeps``.
+
+    With ``relu=True`` the mask is folded into U as a -BIG sentinel
+    instead of streaming a third (K, d) HBM buffer through the kernel:
+    a masked-out pixel's update is relu(x + (-BIG - corr)/cc) = 0
+    exactly, and masked rows of X start (and inductively stay) zero, so
+    every other row's residual sees the same operands — bitwise
+    identical to the explicit mask path with one fewer tile buffer
+    (wider tiles, fewer latency-bound tile steps) and no per-row where.
     """
     K, d = X.shape
+    if mask is not None and relu:
+        mb = mask if mask.dtype == jnp.bool_ else mask > 0
+        X = jnp.where(mb, X, 0.0)
+        U = jnp.where(mb, U.astype(jnp.float32), -1e30)
+        mask = None
     B = max(1, min(block, K))
     Kp = -(-K // B) * B
     if Kp != K:
@@ -191,7 +254,8 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
         if mask is not None:
             mask = jnp.pad(mask, ((0, Kp - K), (0, 0)))
 
-    TD = _pick_tile(Kp, -(-d // 128) * 128, B, mask is not None)
+    TD = _pick_tile(Kp, -(-d // 128) * 128, B, mask is not None,
+                    flags is not None)
     dp = -(-d // TD) * TD
     if dp != d:
         U = jnp.pad(U, ((0, 0), (0, dp - d)))
@@ -213,8 +277,12 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
     n_tiles = dp // TD
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
-    in_specs = [vmem(), vmem(), vmem(), vmem(), hbm()]      # V Vbb cc gate U
-    args = [V, Vbb, cc, gate, U.astype(jnp.float32)]
+    in_specs, args = [], []
+    if flags is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(flags.astype(jnp.int32))
+    in_specs += [vmem(), vmem(), vmem(), vmem(), hbm()]     # V Vbb cc gate U
+    args += [V, Vbb, cc, gate, U.astype(jnp.float32)]
     if mask is not None:
         in_specs.append(hbm())
         args.append(mask.astype(jnp.float32))
@@ -229,7 +297,8 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((3,))]
 
     out = pl.pallas_call(
-        _hals_rows_kernel(n_iter, B, Kp, TD, relu, mask is not None),
+        _hals_rows_kernel(n_iter, B, Kp, TD, relu, mask is not None,
+                          flags is not None),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),

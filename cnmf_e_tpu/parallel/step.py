@@ -150,7 +150,8 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         deconv: Optional[DeconvParams] = None,
                         smin: float = -3.0,
                         mxu: Optional[bool] = None,
-                        chain: int = 1, deconv_every: int = 1):
+                        chain: int = 1, deconv_every: int = 1,
+                        colored: bool = False, mask_dilate: int = 2):
     """Build the jitted HALS iteration ``iterate(proj_out, state) -> state``
     (``proj_out`` from :func:`make_bg_projection`).
 
@@ -177,6 +178,19 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
     deconvolution trades a little denoising latency for most of the
     iteration cost. Skipped iterations carry C = max(C_raw, 0) (the
     reference's no-deconv thresholding, ``HALS_temporal.m:66-68``).
+
+    ``colored``: run the COLORED update — search-location masks on the
+    spatial factor (``determine_search_location.m`` 'dilate' branch,
+    dilation radius ``mask_dilate``; reference default strel('disk',4),
+    ``CNMFSetParms.m:244``) plus a greedy overlap-graph coloring that
+    orders neurons so pairwise-independent rows sit in the same sweep
+    block (the reference's own independent-set device,
+    ``utilities/update_order.m:1-21``). Free blocks update vectorized in
+    the Pallas kernel — bitwise identical to the sequential sweep over
+    the same ordering — collapsing the sequential-update latency from K
+    to ~K/block steps. Masks and ordering are frozen per program call
+    (the reference likewise recomputes search locations once per spatial
+    pass); the returned state is in the caller's original neuron order.
     """
     d = H * W
 
@@ -186,7 +200,8 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec))
 
-    def one_iteration(Ysig, st: StepState, do_deconv=True) -> StepState:
+    def one_iteration(Ysig, st: StepState, do_deconv=True,
+                      mask=None, sflags=None) -> StepState:
         Ysig = constraint(Ysig, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
@@ -217,9 +232,10 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
 
         U = jnp.einsum("kt,td->kd", to_gram(Cc), Pg,
                        preferred_element_type=jnp.float32)
-        Ar_new = hals_spatial_sweeps_rows(U, V, Ar, mask=None,
+        Ar_new = hals_spatial_sweeps_rows(U, V, Ar, mask=mask,
                                           n_iter=n_hals,
-                                          use_pallas=sweeps_pallas)
+                                          use_pallas=sweeps_pallas,
+                                          flags=sflags)
         A_new = Ar_new.reshape(K, H, W)
         A_new = constraint(A_new, P(None, "patch", None))
         Ar_new = A_new.reshape(K, d)
@@ -228,8 +244,17 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         Vt = Ar_new @ Ar_new.T                               # (K, K)
         Ut = jnp.einsum("kd,td->kt", to_gram(Ar_new), Pg,
                         preferred_element_type=jnp.float32)
+        if sflags is not None:
+            # footprints stay inside their (disjoint-or-not) masks, so
+            # the mask flags certify the temporal Gram's zero structure
+            # too; recompute from Vt anyway — exact and nearly free
+            from cnmf_e_tpu.ops.coloring import block_free_flags
+            tflags = block_free_flags(Vt, block=16)
+        else:
+            tflags = None
         C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals,
-                                     use_pallas=sweeps_pallas)
+                                     use_pallas=sweeps_pallas,
+                                     flags=tflags)
 
         # baseline: mean of sub-median samples (HALS_temporal.m:79);
         # bisection median — jnp.median's sort costs as much as the Grams
@@ -258,20 +283,44 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                          g=st.g, b0=st.b0, ring_w=st.ring_w,
                          ring_w0=st.ring_w0)
 
+    def run_chain(Ysig, st: StepState, mask=None, sflags=None
+                  ) -> StepState:
+        it = lambda s, dd: one_iteration(Ysig, s, do_deconv=dd,
+                                         mask=mask, sflags=sflags)
+        if chain == 1:
+            return it(st, True)
+        if deconv_every <= 1:
+            return jax.lax.fori_loop(
+                0, chain, lambda _, s: it(s, True), st)
+        return jax.lax.fori_loop(
+            0, chain,
+            lambda i, s: it(s, ((i + 1) % deconv_every == 0)
+                            | (i == chain - 1)),
+            st)
+
     def iterate(Ysig, st: StepState) -> StepState:
         if isinstance(Ysig, (BgProjection, tuple)):
             Ysig = Ysig[0]
-        if chain == 1:
-            return one_iteration(Ysig, st)
-        if deconv_every <= 1:
-            return jax.lax.fori_loop(
-                0, chain, lambda _, s: one_iteration(Ysig, s), st)
-        return jax.lax.fori_loop(
-            0, chain,
-            lambda i, s: one_iteration(
-                Ysig, s, do_deconv=((i + 1) % deconv_every == 0)
-                | (i == chain - 1)),
-            st)
+        if not colored:
+            return run_chain(Ysig, st)
+
+        from cnmf_e_tpu.ops.coloring import (block_free_flags, color_order,
+                                             overlap_adjacency)
+        from cnmf_e_tpu.ops.morphology import search_locations_dilate
+        K = st.A.shape[0]
+        M = search_locations_dilate(st.A, radius=mask_dilate)
+        Mr = M.reshape(K, d)
+        order, inverse = color_order(overlap_adjacency(Mr))
+        Mp = Mr[order]
+        Mf = Mp.astype(jnp.float32)
+        sflags = block_free_flags(Mf @ Mf.T, block=16)
+        perm = st._replace(A=st.A[order], C=st.C[order],
+                           C_raw=st.C_raw[order], S=st.S[order],
+                           g=st.g[order])
+        out = run_chain(Ysig, perm, mask=Mp, sflags=sflags)
+        return out._replace(A=out.A[inverse], C=out.C[inverse],
+                            C_raw=out.C_raw[inverse], S=out.S[inverse],
+                            g=st.g)
 
     # NOTE: no donate_argnums — buffer donation triggers pathological
     # recompiles/serialization on the axon-tunneled TPU platform
@@ -284,7 +333,8 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      smin: float = -3.0,
                      mxu: Optional[bool] = None,
                      gram_dtype: Optional[str] = None,
-                     chain: int = 1, deconv_every: int = 1):
+                     chain: int = 1, deconv_every: int = 1,
+                     colored: bool = False, mask_dilate: int = 2):
     """Build the fused jitted update step ``step(Y, state) -> state``:
     one background refresh (projection) + ``chain`` HALS iterations
     against the frozen background, all in ONE program — one ~29 ms tunnel
@@ -297,7 +347,9 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
     iterate = make_hals_iteration(mesh, H, W, T, radius, n_hals=n_hals,
                                   deconv=deconv, smin=smin,
                                   mxu=mxu, chain=chain,
-                                  deconv_every=deconv_every)
+                                  deconv_every=deconv_every,
+                                  colored=colored,
+                                  mask_dilate=mask_dilate)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:
         return iterate(proj(Y, st), st)
