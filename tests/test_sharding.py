@@ -55,6 +55,41 @@ def test_step_shard_count_invariance(rng):
                                atol=2e-3)
 
 
+def test_colored_step_shard_count_invariance(rng):
+    """The colored update (masked spatial + independent-set ordering,
+    update_order.m semantics) must also be shard-count invariant: the
+    coloring runs on replicated (K, K) data, so 1-device and mesh runs
+    use the identical permutation and masks."""
+    H, W, T, K, radius = 32, 16, 128, 8, 3
+    R = ring_offsets(radius).shape[0]
+    Y = jnp.asarray(rng.standard_normal((T, H, W)) * 0.1 + 1.0, jnp.float32)
+    st = _mkstate(K, H, W, T, R, rng)
+    # compact support so the overlap graph has structure
+    st = st._replace(A=jnp.where(st.A > 0.5, st.A, 0.0))
+
+    step1 = make_update_step(None, H, W, T, radius=radius, n_hals=1,
+                             colored=True)
+    out1 = step1(Y, st)
+
+    mesh = make_mesh(n_patch=4, n_frame=2)
+    stepN = make_update_step(mesh, H, W, T, radius=radius, n_hals=1,
+                             colored=True)
+    put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    Ys = put(Y, P("frame", "patch", None))
+    sts = StepState(
+        A=put(st.A, P(None, "patch", None)), C=put(st.C, P(None, "frame")),
+        C_raw=put(st.C_raw, P(None, "frame")), S=put(st.S, P(None, "frame")),
+        g=put(st.g, P()), b0=put(st.b0, P("patch", None)),
+        ring_w=put(st.ring_w, P("patch", None)),
+        ring_w0=put(st.ring_w0, P("patch")))
+    outN = stepN(Ys, sts)
+
+    np.testing.assert_allclose(np.asarray(out1.A), np.asarray(outN.A),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out1.C), np.asarray(outN.C),
+                               atol=2e-3)
+
+
 def test_ring_fit_compiles_under_mesh(rng):
     """The gather-heavy ring fit must at least compile+run on a sharded
     input (XLA may insert gathers/all-gathers; exactness is what matters)."""
