@@ -189,19 +189,48 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
         return hals_sweeps_rows_pallas(U, V, C, gate=gate,
                                        n_iter=n_iter, relu=False,
                                        flags=flags)
+    # blocked Gauss-Seidel (same scheme as the spatial path): the naive
+    # per-neuron update reads the full (K, T) C for its residual matvec —
+    # K reads of C per sweep (~2 TB/sweep at the 100k-frame scale config,
+    # K=2304). The block residual reads C once per ``block`` neurons and
+    # the in-block delta correction keeps the update order exact.
+    K, T = C.shape
     aa = jnp.diag(V)
+    gate = jnp.ones((K,), jnp.float32) if active is None \
+        else active.astype(jnp.float32)
+    block = max(1, min(16, K))
+    Kp = -(-K // block) * block
+    if Kp != K:
+        U = jnp.pad(U, ((0, Kp - K), (0, 0)))
+        V = jnp.pad(V, ((0, Kp - K), (0, Kp - K)))
+        C = jnp.pad(C, ((0, Kp - K), (0, 0)))
+        aa = jnp.pad(aa, (0, Kp - K))
+        gate = jnp.pad(gate, (0, Kp - K))
 
-    def neuron_update(k, C):
-        ck = C[k] + (U[k] - V[k] @ C) / jnp.maximum(aa[k], 1e-12)
-        ck = jnp.where(aa[k] > 0, ck, C[k])
-        if active is not None:
-            ck = jnp.where(active[k], ck, C[k])
-        return C.at[k].set(ck)
+    def block_update(j, C):
+        k0 = j * block
+        Vb = jax.lax.dynamic_slice(V, (k0, 0), (block, Kp))     # (b, Kp)
+        Ub = jax.lax.dynamic_slice(U, (k0, 0), (block, C.shape[1]))
+        aab = jax.lax.dynamic_slice(aa, (k0,), (block,))
+        gb = jax.lax.dynamic_slice(gate, (k0,), (block,))
+        C0 = jax.lax.dynamic_slice(C, (k0, 0), (block, C.shape[1]))
+        R = Ub - Vb @ C                                         # (b, T)
+        Vbb = jax.lax.dynamic_slice(Vb, (0, k0), (block, block))
+
+        def inner(i, Cb):
+            r = R[i] - (Cb - C0).T @ Vbb[i]
+            ck = Cb[i] + r / jnp.maximum(aab[i], 1e-12)
+            ck = jnp.where((aab[i] > 0) & (gb[i] > 0), ck, Cb[i])
+            return Cb.at[i].set(ck)
+
+        Cb = jax.lax.fori_loop(0, block, inner, C0)
+        return jax.lax.dynamic_update_slice(C, Cb, (k0, 0))
 
     def sweep(_, C):
-        return jax.lax.fori_loop(0, C.shape[0], neuron_update, C)
+        return jax.lax.fori_loop(0, Kp // block, block_update, C)
 
-    return jax.lax.fori_loop(0, n_iter, sweep, C)
+    C = jax.lax.fori_loop(0, n_iter, sweep, C)
+    return C[:K]
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "colored"))

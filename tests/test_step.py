@@ -95,7 +95,9 @@ def test_split_projection_iteration_matches_fused(problem):
     out2 = iterate(Pm, out)
     Ad_ref, Craw_ref, c_ref = _explicit_reference(
         H, W, T, K, radius, Y, out._replace(), st_bg=st)
-    np.testing.assert_allclose(out2.C_raw, Craw_ref, atol=2e-3)
+    # 4e-3: the step's bf16-emulated Grams + blocked sweep associate
+    # differently from the explicit f32 formulation
+    np.testing.assert_allclose(out2.C_raw, Craw_ref, atol=4e-3)
 
 
 def test_chained_block_matches_sequential_calls(problem):
