@@ -89,12 +89,28 @@ def _prefetch_device_blocks(store: MovieStore, slicer=None,
             else np.asarray(blk)
         return jax.device_put(chunk)
 
+    # BACKPRESSURE: device_put is async on the tunneled runtime and the
+    # caller's loop runs far ahead of the link — without a bound, an
+    # entire pass's chunks (26 GB at the full-scale config) queue in host
+    # RAM as un-sent transfer buffers (measured ~100 GB RSS). Forcing a
+    # one-element fetch of chunk j-LAG before yielding chunk j caps the
+    # in-flight window at LAG chunks while still overlapping read,
+    # upload, and compute.
+    LAG = 4
+    inflight = []
+
+    def _force(x):
+        np.asarray(jax.device_get(x[(0,) * (x.ndim - 1) + (slice(0, 1),)]))
+
     with cf.ThreadPoolExecutor(1) as ex:
         fut = ex.submit(load, jobs[0])
         for j, job in enumerate(jobs):
             cur = fut.result()
             if j + 1 < len(jobs):
                 fut = ex.submit(load, jobs[j + 1])
+            inflight.append(cur)
+            if len(inflight) > LAG:
+                _force(inflight.pop(0))
             yield job[0] * fpb + job[1], cur
 
 
@@ -140,8 +156,15 @@ def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W):
 
 def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                   n_outer: int = 2, init_budget_frames: int = 4000,
-                  verbose: bool = False) -> CNMFEState:
-    """Run CNMF-E streaming frame blocks from a :class:`MovieStore`."""
+                  verbose: bool = False,
+                  snapshot_path: Optional[str] = None) -> CNMFEState:
+    """Run CNMF-E streaming frame blocks from a :class:`MovieStore`.
+
+    ``snapshot_path``: optional .npz path — after every outer iteration
+    the footprints (float16) + active mask are saved there, so a
+    multi-hour full-scale run yields a scoreable artifact even if a later
+    iteration is interrupted (the reference's intermediate_results.mat
+    discipline, ``update_temporal_parallel.m:300-311``)."""
     params = params or CNMFEParams.preset_1p()
     T, H, W = store.shape
     radius = params.background.ring_radius
@@ -337,6 +360,11 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         state, nm2 = merge_neurons(state, params, "dist_only")
         log(f"iter {it}: QC + merges ({nm}+{nm2}), "
             f"{int(state.n_active())} neurons")
+        if snapshot_path is not None:
+            np.savez(snapshot_path, it=it,
+                     A=np.asarray(state.A, np.float16),
+                     active=np.asarray(state.active))
+            log(f"iter {it}: snapshot -> {snapshot_path}")
 
     state = tag_neurons(state, params)
     return compact(state)

@@ -94,7 +94,8 @@ def main():
     print("device mem before:", device_mem(), flush=True)
     t0 = time.perf_counter()
     state = fit_streaming(store, params, n_outer=args.n_outer,
-                          init_budget_frames=budget, verbose=True)
+                          init_budget_frames=budget, verbose=True,
+                          snapshot_path=f"{args.store}/snapshot.npz")
     dt = time.perf_counter() - t0
     n = int(np.asarray(state.active).sum())
     mem = device_mem()
