@@ -191,15 +191,17 @@ def _pick_tile(Kp: int, dp: int, B: int, has_mask: bool,
 
     Single-buffered manual-DMA layout: the (Kp, TD) X and U tiles (plus
     the optional mask tile) live once each, plus the (B, TD) residual
-    scratch and the unblocked V/Vbb/cc/gate. The free-block path keeps a
-    handful of extra (B, TD) temporaries live (the vectorized candidate
-    and its select chain) — measured 1.2 MB over the old estimate at
-    bench shapes, budgeted as 5 B-rows per lane."""
+    scratch and the unblocked V/Vbb/cc/gate. The free-block path keeps
+    extra (B, TD) temporaries live (the vectorized candidate and its
+    select chain); the compiler's stack accounting measured ~530 B/lane
+    beyond the plain layout at bench shapes — budgeted as 12 B-rows per
+    lane (2 compile-measured calibrations: 17.19M at TD 6016 masked,
+    16.05M at TD 7424 maskless)."""
     n_bufs = 2 + int(has_mask)
     fixed = Kp * Kp * 4 + 2 * Kp * B * 4 + 4 * Kp * 4 + 64 * 2**10
     per_lane = (n_bufs * Kp + B) * 4
     if has_flags:
-        per_lane += 5 * B * 4
+        per_lane += 12 * B * 4
     td = (budget_bytes - fixed) // per_lane
     td = max(128, min(int(td) // 128 * 128, dp))
     return td
