@@ -172,60 +172,84 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         (lambda m: None)
 
     # ---- init on a decimated proxy movie --------------------------------
-    tsub = max(-(-T // init_budget_frames), 1)
-    import dataclasses
-    ssub = max(int(params.init.ssub), 1)
-    # build the decimated proxy block-by-block (bounded host RAM); the
-    # spatial ssub pool also runs HOST-side — it cuts the tunnel upload
-    # by ssub^2 and avoids a movie-sized device op (a 6 GB eager
-    # box_downsample crashed the tunneled compile helper at 512^2x6000)
-    Hs, Ws = H // ssub, W // ssub
-    parts = []
-    offset = 0
-    for Yb in store.iter_blocks_raw():
-        first = (-offset) % tsub
-        sl = np.asarray(Yb)[first::tsub].astype(np.float32)
-        if ssub > 1:
-            sl = sl[:, :Hs * ssub, :Ws * ssub].reshape(
-                sl.shape[0], Hs, ssub, Ws, ssub).mean(axis=(2, 4))
-        parts.append(sl)
-        offset += Yb.shape[0]
-    Y_proxy = np.concatenate(parts, axis=0)
-    del parts
-    ip_init = dataclasses.replace(
-        params.init, tsub=1, ssub=1,
-        gSig=max(params.init.gSig / ssub, 0.0),
-        gSiz=max(int(params.init.gSiz // ssub), 3))
-    state, info = initialize_greedy(
-        jnp.asarray(Y_proxy), params.replace(init=ip_init),
-        verbose=verbose)
-    del Y_proxy
-    # the proxy-sized residual movie in the init report would otherwise
-    # stay live for the whole fit (~1.3 GB at full scale)
-    info.pop("residual_Y", None)
-    if ssub > 1:
-        # upsample footprints to full resolution (the greedyROI_endoscope
-        # ssub semantics, initialize.py's in-memory path); traces are
-        # rebuilt from scratch at full T below, so only A/active/g carry
+    import os
+    state = None
+    if snapshot_path is not None and os.path.exists(snapshot_path):
+        # resume: a prior (possibly interrupted) run's footprints — the
+        # reference's restore-from-LOGS flow
+        # (initComponents_parallel.m:56-158), non-interactive
+        z = np.load(snapshot_path)
         from cnmf_e_tpu.models.state import empty_state
-        K_cap0 = state.K_max
-        A_full = jax.image.resize(state.A, (K_cap0, H, W), method="linear")
-        # T=1 placeholder traces: the caller replaces C/C_raw/S with
-        # full-T zeros right below — allocating them twice costs ~5.5 GB
-        # transiently at full scale
-        st_full = empty_state(K_cap0, H, W, 1, p=state.g.shape[1])
-        state = st_full.replace(
-            A=A_full * state.active[:, None, None], active=state.active,
-            g=state.g, neuron_sn=state.neuron_sn)
-    log(f"init (tsub={tsub}, ssub={ssub}): "
-        f"{int(state.n_active())} neurons")
+        A_r = np.asarray(z["A"], np.float32)
+        K_cap0 = A_r.shape[0]
+        state = empty_state(K_cap0, H, W, 1, p=1).replace(
+            A=jnp.asarray(A_r), active=jnp.asarray(z["active"]))
+        log(f"resumed {int(state.n_active())} neurons from "
+            f"{snapshot_path} (stage {z.get('stage', '?')})")
+    if state is None:
+        tsub = max(-(-T // init_budget_frames), 1)
+        import dataclasses
+        ssub = max(int(params.init.ssub), 1)
+        # build the decimated proxy block-by-block (bounded host RAM);
+        # the spatial ssub pool also runs HOST-side — it cuts the tunnel
+        # upload by ssub^2 and avoids a movie-sized device op (a 6 GB
+        # eager box_downsample crashed the tunneled compile helper at
+        # 512^2x6000)
+        Hs, Ws = H // ssub, W // ssub
+        parts = []
+        offset = 0
+        for Yb in store.iter_blocks_raw():
+            first = (-offset) % tsub
+            sl = np.asarray(Yb)[first::tsub].astype(np.float32)
+            if ssub > 1:
+                sl = sl[:, :Hs * ssub, :Ws * ssub].reshape(
+                    sl.shape[0], Hs, ssub, Ws, ssub).mean(axis=(2, 4))
+            parts.append(sl)
+            offset += Yb.shape[0]
+        Y_proxy = np.concatenate(parts, axis=0)
+        del parts
+        ip_init = dataclasses.replace(
+            params.init, tsub=1, ssub=1,
+            gSig=max(params.init.gSig / ssub, 0.0),
+            gSiz=max(int(params.init.gSiz // ssub), 3))
+        state, info = initialize_greedy(
+            jnp.asarray(Y_proxy), params.replace(init=ip_init),
+            verbose=verbose)
+        del Y_proxy
+        # the proxy-sized residual movie in the init report would
+        # otherwise stay live for the whole fit (~1.3 GB at full scale)
+        info.pop("residual_Y", None)
+        if ssub > 1:
+            # upsample footprints to full resolution (greedyROI_endoscope
+            # ssub semantics, initialize.py's in-memory path); traces are
+            # rebuilt from scratch at full T below, so only A/active/g
+            # carry
+            from cnmf_e_tpu.models.state import empty_state
+            K_cap0 = state.K_max
+            A_full = jax.image.resize(state.A, (K_cap0, H, W),
+                                      method="linear")
+            st_full = empty_state(K_cap0, H, W, 1, p=state.g.shape[1])
+            state = st_full.replace(
+                A=A_full * state.active[:, None, None],
+                active=state.active,
+                g=state.g, neuron_sn=state.neuron_sn)
+        log(f"init (tsub={tsub}, ssub={ssub}): "
+            f"{int(state.n_active())} neurons")
+        if snapshot_path is not None:
+            np.savez(snapshot_path, stage="init",
+                     A=np.asarray(state.A, np.float16),
+                     active=np.asarray(state.active))
+            log(f"init snapshot -> {snapshot_path}")
 
-    # expand traces to full T by per-block projection below; start zeros
+    # traces expand to full T at the first temporal solve below; until
+    # then carry T=1 placeholders — full-T zero buffers here would sit
+    # dead through the peak-memory temporal stage (2.8 GB at config 5,
+    # part of the r4 HBM OOM)
     K_cap = state.K_max
     state = state.replace(
-        C=jnp.zeros((K_cap, T), jnp.float32),
-        C_raw=jnp.zeros((K_cap, T), jnp.float32),
-        S=jnp.zeros((K_cap, T), jnp.float32))
+        C=jnp.zeros((K_cap, 1), jnp.float32),
+        C_raw=jnp.zeros((K_cap, 1), jnp.float32),
+        S=jnp.zeros((K_cap, 1), jnp.float32))
 
     fpb = store.frames_per_block
 
@@ -294,6 +318,10 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         C_raw = hals_temporal_sweeps(U, V, C0,
                                      n_iter=params.temporal.n_iter,
                                      active=state.active)
+        # release the solver inputs before the baseline/deconv peak —
+        # U + C0 are another 1.8 GB of full-T buffers at config 5 (the
+        # async runtime frees them once the sweep program retires)
+        del U, C0
         from cnmf_e_tpu.ops.stats import submedian_mean
         C_raw = C_raw - submedian_mean(C_raw, axis=-1)[:, None]
         res = deconvolve(C_raw, params.temporal.deconv)
@@ -361,7 +389,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         log(f"iter {it}: QC + merges ({nm}+{nm2}), "
             f"{int(state.n_active())} neurons")
         if snapshot_path is not None:
-            np.savez(snapshot_path, it=it,
+            np.savez(snapshot_path, stage=f"iter{it}",
                      A=np.asarray(state.A, np.float16),
                      active=np.asarray(state.active))
             log(f"iter {it}: snapshot -> {snapshot_path}")
