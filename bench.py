@@ -135,6 +135,11 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         # (bitwise-equal to the sequential sweep; tests/test_coloring.py)
         "colored_every_5": dict(chain=n_iter, deconv_every=5,
                                 colored=True),
+        # diagnostic (not headline-eligible): single-pass bf16 MXU dots
+        # in the sweep kernel instead of the f32-emulated HIGHEST dots —
+        # bounds what the exact path leaves on the table
+        "colored_fast_every_5": dict(chain=n_iter, deconv_every=5,
+                                     colored=True, fast_dots=True),
     }
     variants = {}
     for name, kw in configs.items():

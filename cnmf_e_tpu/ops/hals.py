@@ -100,7 +100,8 @@ def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                              mask: Optional[jnp.ndarray] = None,
                              n_iter: int = 5, block: int = 16,
                              use_pallas: Optional[bool] = None,
-                             flags: Optional[jnp.ndarray] = None
+                             flags: Optional[jnp.ndarray] = None,
+                             fast_dots: bool = False
                              ) -> jnp.ndarray:
     """Row-major spatial sweeps: A, U are (K, d) — the native
     ``A.reshape(K, d)`` layout. On a single TPU the whole multi-sweep
@@ -122,7 +123,8 @@ def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
     if use_pallas:
         return hals_sweeps_rows_pallas(
             U, V, A, gate=jnp.ones(A.shape[0], jnp.float32), mask=mask,
-            n_iter=n_iter, block=block, relu=True, flags=flags)
+            n_iter=n_iter, block=block, relu=True, flags=flags,
+            fast_dots=fast_dots)
     out = hals_spatial_sweeps(U.T, V, A.T,
                               mask=None if mask is None else mask.T,
                               n_iter=n_iter, block=block, use_pallas=False)
@@ -169,7 +171,8 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
                          n_iter: int = 5,
                          active: Optional[jnp.ndarray] = None,
                          use_pallas: Optional[bool] = None,
-                         flags: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                         flags: Optional[jnp.ndarray] = None,
+                         fast_dots: bool = False) -> jnp.ndarray:
     """Gauss-Seidel temporal sweeps given precomputed Grams.
 
     U = A^T Ysig (K, T), V = A^T A (K, K); U stays fixed across sweeps
@@ -188,7 +191,7 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
                 else jnp.ones(C.shape[0], jnp.float32))
         return hals_sweeps_rows_pallas(U, V, C, gate=gate,
                                        n_iter=n_iter, relu=False,
-                                       flags=flags)
+                                       flags=flags, fast_dots=fast_dots)
     # blocked Gauss-Seidel (same scheme as the spatial path): the naive
     # per-neuron update reads the full (K, T) C for its residual matvec —
     # K reads of C per sweep (~2 TB/sweep at the 100k-frame scale config,

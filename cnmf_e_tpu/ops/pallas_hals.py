@@ -71,7 +71,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
-                      has_mask: bool, has_flags: bool):
+                      has_mask: bool, has_flags: bool,
+                      fast_dots: bool = False):
     """Kernel body. VMEM refs: V (Kp, Kp) symmetric Gram; Vbb (nb*B, B)
     stacked diagonal-block rows (Vbb[j*B+i, :] = V[k0+i, k0:k0+B]);
     cc (Kp, 1) update denominators; gate (Kp, 1) 1.0 where the row
@@ -94,6 +95,8 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
              out_hbm, Xs, Us, R_ref, sems) = refs
             mask_hbm = Ms = None
 
+        prec = (jax.lax.Precision.DEFAULT if fast_dots
+                else jax.lax.Precision.HIGHEST)
         i = pl.program_id(0)
         off = pl.multiple_of(i * TD, 128)
         cp_x = pltpu.make_async_copy(X_hbm.at[:, pl.ds(off, TD)], Xs,
@@ -125,7 +128,7 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
             # slice (value dynamic_slice has no Mosaic lowering)
             R_ref[:, :] = Ub - jnp.dot(Vb, Xs[:, :],
                                        preferred_element_type=jnp.float32,
-                                       precision=jax.lax.Precision.HIGHEST)
+                                       precision=prec)
 
             def inner(i, _):
                 k = k0 + i
@@ -133,7 +136,7 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
                 w = Vbb_ref[pl.ds(j * B + i, 1), :]         # (1, B)
                 r = R_ref[pl.ds(i, 1), :] - jnp.dot(
                     w, delta, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
                 x_cur = Xs[pl.ds(k, 1), :]                  # (1, TD)
                 cc_k = cc_ref[pl.ds(k, 1), :]               # (1, 1)
                 xk = x_cur + r / jnp.maximum(cc_k, 1e-12)
@@ -208,13 +211,14 @@ def _pick_tile(Kp: int, dp: int, B: int, has_mask: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "block", "relu",
-                                             "interpret"))
+                                             "fast_dots", "interpret"))
 def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
                             gate: jnp.ndarray,
                             mask: Optional[jnp.ndarray] = None,
                             n_iter: int = 5, block: int = 16,
                             relu: bool = True,
                             flags: Optional[jnp.ndarray] = None,
+                            fast_dots: bool = False,
                             interpret: bool = False) -> jnp.ndarray:
     """Run ``n_iter`` blocked Gauss-Seidel sweeps on row-major factors.
 
@@ -300,7 +304,7 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
 
     out = pl.pallas_call(
         _hals_rows_kernel(n_iter, B, Kp, TD, relu, mask is not None,
-                          flags is not None),
+                          flags is not None, fast_dots),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),

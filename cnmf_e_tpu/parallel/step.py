@@ -151,7 +151,8 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         smin: float = -3.0,
                         mxu: Optional[bool] = None,
                         chain: int = 1, deconv_every: int = 1,
-                        colored: bool = False, mask_dilate: int = 2):
+                        colored: bool = False, mask_dilate: int = 2,
+                        fast_dots: bool = False):
     """Build the jitted HALS iteration ``iterate(proj_out, state) -> state``
     (``proj_out`` from :func:`make_bg_projection`).
 
@@ -235,7 +236,8 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         Ar_new = hals_spatial_sweeps_rows(U, V, Ar, mask=mask,
                                           n_iter=n_hals,
                                           use_pallas=sweeps_pallas,
-                                          flags=sflags)
+                                          flags=sflags,
+                                          fast_dots=fast_dots)
         A_new = Ar_new.reshape(K, H, W)
         A_new = constraint(A_new, P(None, "patch", None))
         Ar_new = A_new.reshape(K, d)
@@ -254,7 +256,7 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
             tflags = None
         C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals,
                                      use_pallas=sweeps_pallas,
-                                     flags=tflags)
+                                     flags=tflags, fast_dots=fast_dots)
 
         # baseline: mean of sub-median samples (HALS_temporal.m:79);
         # bisection median — jnp.median's sort costs as much as the Grams
@@ -334,7 +336,8 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      mxu: Optional[bool] = None,
                      gram_dtype: Optional[str] = None,
                      chain: int = 1, deconv_every: int = 1,
-                     colored: bool = False, mask_dilate: int = 2):
+                     colored: bool = False, mask_dilate: int = 2,
+                     fast_dots: bool = False):
     """Build the fused jitted update step ``step(Y, state) -> state``:
     one background refresh (projection) + ``chain`` HALS iterations
     against the frozen background, all in ONE program — one ~29 ms tunnel
@@ -349,7 +352,8 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                                   mxu=mxu, chain=chain,
                                   deconv_every=deconv_every,
                                   colored=colored,
-                                  mask_dilate=mask_dilate)
+                                  mask_dilate=mask_dilate,
+                                  fast_dots=fast_dots)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:
         return iterate(proj(Y, st), st)
