@@ -235,7 +235,11 @@ def merge_neurons(state: CNMFEState, params: CNMFEParams,
 
     Returns (new_state, n_merged_clusters). The merged component lands in
     the slot of the cluster's highest-energy member; other members
-    deactivate (fixed-capacity slot semantics).
+    deactivate (fixed-capacity slot semantics). ``n_merged_clusters`` is
+    a DEVICE scalar: formatting or int()-ing it forces the fetch, so a
+    non-verbose pipeline never syncs on a merge pass at all (the whole
+    merge — candidate graph, connected components, cluster bookkeeping,
+    batched rank-1 refits — runs on device; see ``_cluster_device``).
 
     ``deconv=False`` skips the post-merge re-deconvolution (the reference
     re-deconvolves merged traces, ``merge_neurons_dist_corr.m:193-200``;
@@ -243,7 +247,86 @@ def merge_neurons(state: CNMFEState, params: CNMFEParams,
     re-deconvolves every trace anyway — can defer it and save the
     (K_max, T) OASIS pass + a dispatch per merge call).
     """
-    return merge_neurons_seq(state, params, (mode,), deconv=deconv)
+    plane = {"dist_corr": 0, "dist_only": 1, "high_corr": 2}[mode]
+    members, keep, valid, nm = _cluster_device(state, params, plane)
+    state2, merged_mask = _merge_apply(
+        state, members, keep, valid,
+        refit_iters=params.merge.refit_iters)
+    if deconv and params.temporal.deconv.enabled:
+        sn = noise_psd(state2.C_raw)
+        res = deconvolve(state2.C_raw, params.temporal.deconv, sn=sn)
+        state2 = _deconv_writeback(state2, merged_mask, res.c, res.s,
+                                   res.b, res.g)
+    return state2, nm
+
+
+@functools.partial(jax.jit, static_argnames=("params", "plane"))
+def _cluster_device(state: CNMFEState, params: CNMFEParams, plane: int):
+    """Connected components + cluster bookkeeping ON DEVICE.
+
+    The host union-find path (``connected_components`` C++) needs a
+    ~110 KB adjacency fetch per merge pass — ~6 forced syncs per
+    pipeline fit over the tunnel. Here reachability closes by
+    ceil(log2 K) boolean matmul squarings of (adj | I) — exact transitive
+    closure, a few (K, K) MXU products — and the membership matrix /
+    survivor slots / cluster count come out as device arrays feeding
+    ``_merge_apply`` directly. Reference semantics:
+    ``merge_neurons_dist_corr.m:83-86`` (graph_connected_comp) with the
+    survivor = highest-energy member.
+
+    Returns (members (Kc, K) f32, keep (Kc,) i32, valid (Kc,) bool,
+    nm scalar i32)."""
+    mp = params.merge
+    K = state.K_max
+    st = _merge_stats(state)
+    dist = st[9] if mp.method_dist == "max" else st[0]
+    corr_C, cos_A = st[1], st[2]
+    corr_Craw, corr_S, energy = st[3], st[4], st[5][0]
+    g1, g2 = st[7][0], st[8][0]
+    act2 = jnp.outer(state.active, state.active)
+    off_diag = ~jnp.eye(K, dtype=bool)
+
+    if plane == 0:
+        adj = (dist <= mp.dmin) & (corr_C >= mp.merge_thr)
+        if mp.max_decay_diff is not None:
+            d = (g1 + jnp.sqrt(jnp.maximum(g1 * g1 + 4 * g2, 0.0))) / 2.0
+            tau = -1.0 / jnp.log(jnp.clip(d, 1e-4, 1 - 1e-6))
+            adj &= (jnp.abs(tau[:, None] - tau[None, :])
+                    <= mp.max_decay_diff)
+    elif plane == 1:
+        adj = dist <= mp.dmin_only
+    else:
+        a_thr, c_thr, s_thr = mp.merge_thr_spatial
+        adj = jnp.ones((K, K), bool)
+        if a_thr > 0:
+            adj &= cos_A >= a_thr
+        if c_thr > 0:
+            adj &= corr_Craw >= c_thr
+        if s_thr > 0:
+            adj &= corr_S >= s_thr
+    adj &= act2 & off_diag
+
+    # transitive closure by squaring: R holds reachability within 2^i hops
+    R = (adj | jnp.eye(K, dtype=bool)).astype(jnp.float32)
+    n_sq = max(int(np.ceil(np.log2(max(K, 2)))), 1)
+    for _ in range(n_sq):
+        R = ((R @ R) > 0).astype(jnp.float32)
+    Rb = R > 0
+    comp_min = jnp.argmax(Rb, axis=1)          # first reachable = root id
+    valid_node = jnp.any(adj, axis=1)          # edges pair -> comp size >= 2
+    idx = jnp.arange(K)
+    root = (comp_min == idx) & valid_node
+    slot_at = jnp.cumsum(root.astype(jnp.int32)) - 1   # slot of each root
+    slot_of = slot_at[comp_min]                # valid only where valid_node
+
+    Kc = max(K // 2, 1)
+    members = ((slot_of[None, :] == jnp.arange(Kc)[:, None])
+               & valid_node[None, :]).astype(jnp.float32)
+    e_m = jnp.where(members > 0, energy[None, :], -jnp.inf)
+    keep = jnp.argmax(e_m, axis=1).astype(jnp.int32)
+    valid = jnp.any(members > 0, axis=1)
+    nm = jnp.sum(root.astype(jnp.int32))
+    return members, keep, valid, nm
 
 
 def _unpack_adjacency(packed: np.ndarray, mode: str):
