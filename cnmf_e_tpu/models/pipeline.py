@@ -124,7 +124,7 @@ class CNMFE:
             with _st("merge", ref):
                 state, nm = merge_neurons(state, p, "dist_corr")
                 ref.append(state)
-            log(f"merge(dist_corr): {nm} clusters")
+            log(lambda nm=nm: f"merge(dist_corr): {int(nm)} clusters")
             if run_log is not None:
                 run_log.snapshot("init", state)
 
@@ -160,7 +160,8 @@ class CNMFE:
             # a temporal update follows before C is consumed downstream:
             # defer re-deconvolution of merged traces to it
             state, nm = merge_neurons(state, p, "high_corr", deconv=False)
-        log(f"spatial + merge(high_corr: {nm}) ({time.time() - t0:.1f}s)")
+        log(lambda nm=nm: f"spatial + merge(high_corr: {int(nm)}) "
+            f"({time.time() - t0:.1f}s)")
 
         for it in range(max(n_outer, 1)):
             ref = []
@@ -187,7 +188,7 @@ class CNMFE:
         # their originals (reference: merge_close_neighbors with dmin_only)
         with _st("merge"):
             state, nm = merge_neurons(state, p, "dist_only", deconv=False)
-        log(f"merge(dist_only): {nm} clusters")
+        log(lambda nm=nm: f"merge(dist_only): {int(nm)} clusters")
 
         # final full pass on a refreshed background
         ref = []

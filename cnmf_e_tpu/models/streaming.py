@@ -168,8 +168,11 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     params = params or CNMFEParams.preset_1p()
     T, H, W = store.shape
     radius = params.background.ring_radius
-    log = (lambda m: print(f"[stream] {m}", flush=True)) if verbose else \
-        (lambda m: None)
+    # callable messages are only evaluated when verbose — several embed
+    # device scalars (merge counts, n_active) whose formatting forces a
+    # host sync in the async dispatch pipeline
+    log = (lambda m: print(f"[stream] {m() if callable(m) else m}",
+                           flush=True)) if verbose else (lambda m: None)
 
     # ---- init on a decimated proxy movie --------------------------------
     import os
@@ -182,10 +185,20 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         from cnmf_e_tpu.models.state import empty_state
         A_r = np.asarray(z["A"], np.float32)
         K_cap0 = A_r.shape[0]
-        state = empty_state(K_cap0, H, W, 1, p=1).replace(
+        # p (AR order) comes from the saved g when present — resuming an
+        # AR(2) configuration with a hard-coded p=1 truncated g and broke
+        # the merge decay gate (r4 advisor finding)
+        p_ar = (int(z["g"].shape[1]) if "g" in z.files
+                else (2 if params.temporal.deconv.model in ("ar2", "exp2")
+                      else 1))
+        state = empty_state(K_cap0, H, W, 1, p=p_ar).replace(
             A=jnp.asarray(A_r), active=jnp.asarray(z["active"]))
-        log(f"resumed {int(state.n_active())} neurons from "
-            f"{snapshot_path} (stage {z.get('stage', '?')})")
+        if "g" in z.files:
+            state = state.replace(
+                g=jnp.asarray(z["g"], jnp.float32),
+                neuron_sn=jnp.asarray(z["neuron_sn"], jnp.float32))
+        log(lambda state=state: f"resumed {int(state.n_active())} neurons "
+            f"from {snapshot_path} (stage {z.get('stage', '?')})")
     if state is None:
         tsub = max(-(-T // init_budget_frames), 1)
         import dataclasses
@@ -233,12 +246,14 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                 A=A_full * state.active[:, None, None],
                 active=state.active,
                 g=state.g, neuron_sn=state.neuron_sn)
-        log(f"init (tsub={tsub}, ssub={ssub}): "
+        log(lambda state=state: f"init (tsub={tsub}, ssub={ssub}): "
             f"{int(state.n_active())} neurons")
         if snapshot_path is not None:
             np.savez(snapshot_path, stage="init",
                      A=np.asarray(state.A, np.float16),
-                     active=np.asarray(state.active))
+                     active=np.asarray(state.active),
+                     g=np.asarray(state.g, np.float32),
+                     neuron_sn=np.asarray(state.neuron_sn, np.float32))
             log(f"init snapshot -> {snapshot_path}")
 
     # traces expand to full T at the first temporal solve below; until
@@ -330,7 +345,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             C=jnp.where(act, res.c, 0.0),
             C_raw=jnp.where(act, C_raw - res.b[:, None], 0.0),
             S=jnp.where(act, res.s, 0.0))
-        log(f"iter {it}: traces ({int(state.n_active())} neurons)")
+        log(lambda state=state:
+            f"iter {it}: traces ({int(state.n_active())} neurons)")
 
         # ---- ring background fit (streamed Bf blocks) -------------------
         Cmean = jnp.mean(state.C, axis=-1)
@@ -386,12 +402,20 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         state = remove_false_positives(state, params)
         state, nm = merge_neurons(state, params, "dist_corr")
         state, nm2 = merge_neurons(state, params, "dist_only")
-        log(f"iter {it}: QC + merges ({nm}+{nm2}), "
+        log(lambda nm=nm, nm2=nm2, state=state:
+            f"iter {it}: QC + merges ({int(nm)}+{int(nm2)}), "
             f"{int(state.n_active())} neurons")
         if snapshot_path is not None:
+            # traces ride along (float16) so an interrupted multi-hour
+            # run still yields trace-scoreable artifacts, and g/sn so an
+            # AR(2) resume keeps its model order (r4 advisor finding)
             np.savez(snapshot_path, stage=f"iter{it}",
                      A=np.asarray(state.A, np.float16),
-                     active=np.asarray(state.active))
+                     active=np.asarray(state.active),
+                     g=np.asarray(state.g, np.float32),
+                     neuron_sn=np.asarray(state.neuron_sn, np.float32),
+                     C=np.asarray(state.C, np.float16),
+                     C_raw=np.asarray(state.C_raw, np.float16))
             log(f"iter {it}: snapshot -> {snapshot_path}")
 
     state = tag_neurons(state, params)

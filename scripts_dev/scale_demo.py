@@ -104,16 +104,38 @@ def main():
     gt = np.load(f"{args.store}/ground_truth.npz")
     A_est = np.asarray(state.masked_A())[:n]
     f1 = detection_f1(A_est, np.asarray(gt["A"], np.float32))
-    mpfs = H * W * T / dt / 1e6
-    print(json.dumps({
+
+    # trace fidelity vs planted truth on the stored T//25 decimation grid
+    # (simulate_movie_store keeps frames 0, 25, 50, ... of the true C)
+    out = {
         "shape": [T, H, W], "K_true": int(gt["A"].shape[0]),
         "neurons_found": n, "recall": round(f1["recall"], 3),
         "precision": round(f1["precision"], 3),
+        "f1": round(f1["f1"], 4),
         "wall_seconds": round(dt, 1),
-        "sustained_Mpf_per_s": round(mpfs, 1),
+        "sustained_Mpf_per_s": round(H * W * T / dt / 1e6, 1),
         "synth_seconds": round(t_synth, 1),
         "peak_bytes_in_use": mem.get("peak_bytes_in_use"),
-    }))
+    }
+    gtC_path = f"{args.store}/gt_C_decim.npy"
+    C_est = np.asarray(state.C)[:n]
+    if C_est.shape[1] > 1:
+        import os
+        from cnmf_e_tpu.utils.metrics import trace_corr
+        gtC = np.asarray(np.load(gtC_path), np.float32) \
+            if os.path.exists(gtC_path) else None
+        if gtC is not None:
+            Cd = C_est[:, ::25][:, :gtC.shape[1]]
+            tc = trace_corr(Cd, gtC[:, :Cd.shape[1]], f1["matches"])
+            out.update(
+                trace_corr_mean=round(float(tc.mean()), 4),
+                trace_corr_median=round(float(np.median(tc)), 4),
+                trace_corr_p10=round(float(np.percentile(tc, 10)), 4),
+                n_scored_traces=int(tc.size))
+        np.savez(f"{args.store}/final_result.npz",
+                 A=A_est.astype(np.float16), C=C_est.astype(np.float16),
+                 matches=np.asarray(f1["matches"], np.int32))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -240,3 +240,54 @@ def test_batch1_traces_survive_A_sync(tmp_path):
     # background refresh the batch path runs)
     assert b1_corr >= solo_corr - 0.02, (b1_corr, solo_corr)
     assert b1_corr >= 0.9, b1_corr
+
+
+def test_streaming_snapshot_resume_preserves_ar_order(tmp_path):
+    """Snapshot -> resume round-trip: the resumed state carries the saved
+    g (AR coefficients), neuron_sn, and AR ORDER — resuming an AR(2)
+    configuration must not truncate g to one column (r4 advisor finding:
+    a hard-coded p=1 in the resume path silently zeroed g2, breaking the
+    merge decay gate for resumed runs)."""
+    import dataclasses
+
+    from cnmf_e_tpu.config import DeconvParams, TemporalParams
+
+    gt = simulate_movie(seed=62, H=32, W=32, T=500, K=4, gSig=2.5,
+                        sn=0.08, bg_strength=0.6, min_dist=11.0,
+                        spike_rate=0.04)
+    src = str(tmp_path / "m.npy")
+    np.save(src, gt.Y)
+    store = distribute_movie(src, str(tmp_path / "store"),
+                             frames_per_block=250)
+    params = CNMFEParams(
+        init=InitParams(gSig=2.5, gSiz=8, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=16, seeds_per_round=8, max_rounds=3),
+        background=BackgroundParams(model="ring", ring_radius=7),
+        merge=MergeParams(dmin=4.0),
+        temporal=TemporalParams(deconv=DeconvParams(model="ar2")),
+    )
+    snap = str(tmp_path / "snap.npz")
+    state0 = fit_streaming(store, params, n_outer=1,
+                           init_budget_frames=250, snapshot_path=snap)
+    assert state0.g.shape[1] == 2
+
+    z = np.load(snap)
+    assert set(["A", "active", "g", "neuron_sn"]) <= set(z.files)
+    assert z["g"].shape[1] == 2
+    assert str(z["stage"]) == "iter0"
+    assert "C" in z.files          # traces ride along for offline scoring
+
+    # resume: AR order and per-neuron g/sn must survive the round-trip
+    # (n_outer=0 returns the loaded state without another refinement
+    # iteration, isolating the round-trip semantics from toy-scale QC)
+    state1 = fit_streaming(store, params, n_outer=0,
+                           init_budget_frames=250, snapshot_path=snap)
+    assert state1.g.shape[1] == 2
+    assert int(state1.n_active()) == int(np.asarray(z["active"]).sum())
+    # the active slots' g coefficients round-trip exactly (compact()
+    # permutes actives to the front)
+    act = np.asarray(z["active"]).astype(bool)
+    g_saved = np.sort(np.asarray(z["g"])[act], axis=0)
+    g_resumed = np.sort(
+        np.asarray(state1.g)[:act.sum()], axis=0)
+    np.testing.assert_allclose(g_resumed, g_saved, rtol=1e-6)
