@@ -114,6 +114,11 @@ class BackgroundParams:
     frame_cap_factor: int = 100
     # ridge regularizer added to the ring normal equations
     ridge_eps: float = 1e-5
+    # refresh the background model every N outer refinement iterations
+    # (reference cadence: every pass, demo_large_data_1p.m:199-201).
+    # 0 = amortized schedule (post-init + final only) — the measured
+    # default; 1 = the reference's per-iteration refresh
+    refresh_every: int = 0
 
 
 @dataclass(frozen=True)

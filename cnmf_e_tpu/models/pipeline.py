@@ -73,11 +73,15 @@ class CNMFE:
                 return contextlib.nullcontext()
             return timer.stage(name, ref)
         # NaN scrubbing at the boundary (greedyROI_endoscope.m:100) —
-        # its own timed stage so the async movie pass doesn't get charged
-        # to whatever stage forces completion first
+        # guarded by a read-only any-NaN reduction: the common case (clean
+        # movie) skips the full read+write scrub pass, and the one scalar
+        # fetch lands before any other work is queued so it serializes
+        # nothing (r4 verdict: scrub was ~0.9 s of the serialized table)
         ref = []
         with _st("scrub", ref):
-            Y = jnp.nan_to_num(jnp.asarray(Y, jnp.float32))
+            Y = jnp.asarray(Y, jnp.float32)
+            if not bool(jnp.isfinite(jnp.sum(Y))):
+                Y = jnp.nan_to_num(Y)
             ref.append(Y)
         _print = self._log(verbose)
         if run_log is not None:
@@ -154,7 +158,7 @@ class CNMFE:
         ref = []
         with _st("spatial", ref):
             Ysig = subtract_background(Y, state, p)
-            state = update_spatial(Ysig, state, p)
+            state = update_spatial(Ysig, state, p, sn_pix=sn_pix)
             ref.append(state)
         with _st("merge"):
             # a temporal update follows before C is consumed downstream:
@@ -164,6 +168,17 @@ class CNMFE:
             f"({time.time() - t0:.1f}s)")
 
         for it in range(max(n_outer, 1)):
+            # optional per-iteration background refresh (reference cadence,
+            # demo_large_data_1p.m:199-201); the default amortized schedule
+            # (refresh_every=0) holds B fixed between the post-init and
+            # final refreshes — the reference's own within-loop semantics
+            re_bg = p.background.refresh_every
+            if re_bg > 0 and it > 0 and (it % re_bg) == 0:
+                ref = []
+                with _st("background", ref):
+                    state = update_background(Y, state, p, sn_pix=sn_pix)
+                    Ysig = subtract_background(Y, state, p)
+                    ref.append(state)
             ref = []
             with _st("temporal", ref):
                 state = update_temporal(Ysig, state, p)
@@ -178,7 +193,7 @@ class CNMFE:
             # holding B fixed between background refreshes as here)
             ref = []
             with _st("spatial", ref):
-                state = update_spatial(Ysig, state, p)
+                state = update_spatial(Ysig, state, p, sn_pix=sn_pix)
                 ref.append(state)
             log(lambda it=it, nm=nm, state=state:
                 f"iter {it}: temporal + QC + merge({nm}) + spatial, "
@@ -198,7 +213,7 @@ class CNMFE:
         ref = []
         with _st("spatial", ref):
             Ysig = subtract_background(Y, state, p)
-            state = update_spatial(Ysig, state, p)
+            state = update_spatial(Ysig, state, p, sn_pix=sn_pix)
             ref.append(state)
         ref = []
         with _st("temporal", ref):
@@ -220,7 +235,7 @@ class CNMFE:
             ref = []
             with _st("spatial", ref):
                 Ysig = subtract_background(Y, state, p)
-                state = update_spatial(Ysig, state, p)
+                state = update_spatial(Ysig, state, p, sn_pix=sn_pix)
                 ref.append(state)
             ref = []
             with _st("temporal", ref):

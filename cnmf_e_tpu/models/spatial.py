@@ -26,8 +26,17 @@ from cnmf_e_tpu.ops.nnls import nnls_pixels
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
-                   params: CNMFEParams) -> CNMFEState:
-    """Update footprints given traces. Ysignal: (T, H, W) = Y - B."""
+                   params: CNMFEParams,
+                   sn_pix: jnp.ndarray | None = None) -> CNMFEState:
+    """Update footprints given traces. Ysignal: (T, H, W) = Y - B.
+
+    ``sn_pix``: optional (H, W) per-pixel PSD noise sigma — the
+    ``hals_thresh`` / ``lars`` noise floor (``HALS_spatial_thresh.m``;
+    sn refresh at ``update_spatial_parallel.m:191-194``). When absent the
+    residual std stands in, which over-estimates the floor early in
+    fitting (unmodeled signal inflates the residual) and can zero true
+    footprint pixels — pipelines that already computed sn should pass it.
+    """
     sp = params.spatial
     T, H, W = Ysignal.shape
     K = state.K_max
@@ -56,16 +65,25 @@ def update_spatial(Ysignal: jnp.ndarray, state: CNMFEState,
         # HALS then zero sub-noise weights (HALS_spatial_thresh.m)
         Ad = hals_spatial(Yd, Ad, C, mask=Md, n_iter=sp.n_iter,
                           colored=True)
-        cnorm = jnp.sqrt(jnp.sum(C * C, axis=-1))          # (K,)
-        sn_pix = jnp.std(Yd - Ad @ C, axis=-1, keepdims=True)
-        Ad = jnp.where(Ad * cnorm[None, :] > sn_pix, Ad, 0.0)
+        # 3-sigma pixel gate in the reference's exact units
+        # (HALS_spatial_thresh.m:37,51: zero a_dk where
+        # a_dk * ||C_k - mean||_2 < 3 * sn_d), with sn the stored PSD
+        # noise when the pipeline passes it; the residual-std fallback is
+        # biased high while signal is unmodeled (it includes the
+        # unexplained neurons) and can zero true footprint pixels
+        Cc = C - jnp.mean(C, axis=-1, keepdims=True)
+        cnorm = jnp.sqrt(jnp.sum(Cc * Cc, axis=-1))        # (K,)
+        sn_d = (sn_pix.reshape(-1, 1) if sn_pix is not None
+                else jnp.std(Yd - Ad @ C, axis=-1, keepdims=True))
+        Ad = jnp.where(Ad * cnorm[None, :] > 3.0 * sn_d, Ad, 0.0)
     elif sp.algorithm == "nnls":
         Ad = nnls_pixels(C, Yd, A0=Ad, mask=Md, n_iter=20 * sp.n_iter)
     elif sp.algorithm == "lars":
         # noise-constrained nonneg lasso (lars_regression_noise role)
         from cnmf_e_tpu.models.cnmf2p import lasso_noise_constrained
-        sn_pix = jnp.std(Yd - Ad @ C, axis=-1)
-        Ad = lasso_noise_constrained(C, Yd, sn_pix, Md)
+        sn_d = (sn_pix.reshape(-1) if sn_pix is not None
+                else jnp.std(Yd - Ad @ C, axis=-1))
+        Ad = lasso_noise_constrained(C, Yd, sn_d, Md)
     else:
         raise ValueError(f"unknown spatial algorithm {sp.algorithm!r}")
 

@@ -22,15 +22,18 @@ from scipy.fftpack import dct, idct
 def _fixed_point(t: float, N: int, I: np.ndarray, a2: np.ndarray) -> float:
     """xi * gamma^[l](t) - t  (Botev eq. 29-30, l = 7 back-substitutions)."""
     l = 7
-    f = 2.0 * np.pi ** (2 * l) * np.sum(I ** l * a2 *
-                                        np.exp(-I * np.pi ** 2 * t))
-    for s in range(l - 1, 1, -1):
-        K0 = np.prod(np.arange(1, 2 * s, 2)) / np.sqrt(2 * np.pi)
-        const = (1 + (0.5) ** (s + 0.5)) / 3.0
-        time = (2 * const * K0 / (N * f)) ** (2.0 / (3 + 2 * s))
-        f = 2.0 * np.pi ** (2 * s) * np.sum(I ** s * a2 *
-                                            np.exp(-I * np.pi ** 2 * time))
+    # constant input (all spectral mass at DC) drives f -> 0; the inf/0
+    # intermediates are benign (brentq never brackets there) so the whole
+    # back-substitution runs warning-silenced
     with np.errstate(divide="ignore", over="ignore"):
+        f = 2.0 * np.pi ** (2 * l) * np.sum(I ** l * a2 *
+                                            np.exp(-I * np.pi ** 2 * t))
+        for s in range(l - 1, 1, -1):
+            K0 = np.prod(np.arange(1, 2 * s, 2)) / np.sqrt(2 * np.pi)
+            const = (1 + (0.5) ** (s + 0.5)) / 3.0
+            time = (2 * const * K0 / (N * f)) ** (2.0 / (3 + 2 * s))
+            f = 2.0 * np.pi ** (2 * s) * np.sum(I ** s * a2 *
+                                                np.exp(-I * np.pi ** 2 * time))
         return t - (2.0 * N * np.sqrt(np.pi) * f) ** (-0.4)
 
 

@@ -62,3 +62,33 @@ def test_full_pipeline_2p_svd_background():
     n = int(state.n_active())
     f1 = detection_f1(np.asarray(state.masked_A())[:n], gt.A)
     assert f1["recall"] >= 0.75, f1
+
+
+@pytest.mark.slow
+def test_bg_refresh_every_fidelity_mode():
+    """``BackgroundParams.refresh_every=1`` restores the reference's
+    per-outer-iteration background refresh cadence
+    (``demo_large_data_1p.m:199-201``). The refreshed-B fit must not fit
+    the data worse than the amortized schedule (RSS non-increase within
+    run-to-run tolerance)."""
+    import dataclasses
+
+    gt = simulate_movie(seed=19, H=64, W=64, T=600, K=10, gSig=2.5,
+                        sn=0.08, bg_strength=0.9, min_dist=12.0,
+                        spike_rate=0.04)
+    base = _params_1p()
+
+    def final_rss(params):
+        model = CNMFE(params)
+        state = model.fit(gt.Y, n_outer=3)
+        n = int(state.n_active())
+        B = np.asarray(model.background(gt.Y))
+        return rss(gt.Y, np.asarray(state.masked_A())[:n],
+                   np.asarray(state.C)[:n], B), n
+
+    r_amort, n_amort = final_rss(base)
+    r_fresh, n_fresh = final_rss(base.replace(
+        background=dataclasses.replace(base.background, refresh_every=1)))
+    assert n_fresh >= 1 and n_amort >= 1
+    # per-iteration refreshes must not degrade the fit
+    assert r_fresh <= 1.05 * r_amort, (r_fresh, r_amort)
