@@ -30,7 +30,15 @@ def nnls_fista(G: jnp.ndarray, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     K = G.shape[-1]
     L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(G), axis=-1), axis=-1), 1e-12)
     step = (1.0 / L)[..., None]
-    x = jnp.maximum(b * step, 0.0) if x0 is None else jnp.maximum(x0, 0.0)
+    default = jnp.maximum(b * step, 0.0)
+    if x0 is None:
+        x = default
+    else:
+        # an all-zero warm start (e.g. the first window of a warm-started
+        # scan) is strictly worse than the gradient-step default — fall
+        # back per batch element
+        x = jnp.where(jnp.any(x0 > 0, axis=-1, keepdims=True),
+                      jnp.maximum(x0, 0.0), default)
     z = x
     t = jnp.ones(G.shape[:-2], G.dtype)
 
