@@ -33,6 +33,23 @@ replacing the reference's fixed sweep count with an actual diagnostic.
 
 Model:  y = b + conv(s, h) + eps,  eps ~ N(0, sn^2),
         s_t ~ spike-and-slab: P(s_t > 0) = p_spike, amplitude ~ Exp(1/mu_a).
+
+Grid-time bias vs the reference's continuous-time spikes (quantified,
+round 5; ``scripts_dev/mcmc_grid_bias.py`` + ``tests/test_mcmc.py::
+test_mcmc_grid_time_bias_below_one_frame``): a spike at continuous time
+n + phi registers at bin n + 1 with amplitude rescaled by the kernel —
+for AR(1) this is an EXACT likelihood degeneracy (h(u) = g^u, so
+a * h(t - n - phi) = a g^(1-phi) * h(t - n - 1) for every integer
+t >= n + 1), and for fast-rise AR(2) kernels the residual shape
+difference sits below the noise. Measured on off-grid AR(2) spikes
+(phi in {0.25, 0.5, 0.75}, 72 events, 12 chains): timing error =
+(1 - phi) frames exactly (bias +0.75/+0.50/+0.25, std <= 0.003), i.e.
+|bias| < 1 frame always, 0.5 frames mean under uniform phi, and the
+POSTERIOR concentrates (it does not split mass across neighboring bins)
+— so fractional-offset refinement cannot be recovered from the
+likelihood for these kernels and is not implemented; downstream
+consumers should treat spike times as right-edge-of-frame quantized.
+(Reference: ``packages/MCMC/cont_ca_sampler.m:1-40``.)
 """
 
 from __future__ import annotations

@@ -129,3 +129,45 @@ def test_mcmc_ar2_kernel(rng):
     prob = np.asarray(res.spike_prob[0])
     for t in [60, 170, 290]:
         assert prob[t - 2:t + 3].max() > 0.5, (t, prob[t - 3:t + 4])
+
+
+def test_mcmc_grid_time_bias_below_one_frame(rng):
+    """Off-grid spikes (continuous time n + phi) register at bin n + 1 —
+    the (1 - phi)-frame quantization documented in the module docstring
+    (cont_ca_sampler.m samples continuous times; for AR(1)/fast-rise
+    AR(2) kernels the offset is an exact likelihood degeneracy). Pins
+    |timing error| < 1 frame and its (1 - phi) structure."""
+    from cnmf_e_tpu.ops.ar import exp2ar
+
+    D, R = 0.92, 0.4
+
+    def h_cont(u):
+        u = np.asarray(u, float)
+        v = (D ** (u + 1) - R ** (u + 1)) / (D - R)
+        return np.where(u >= 0, v, 0.0)
+
+    T = 400
+    sn = 0.12
+    events = [(60, 0.25), (160, 0.5), (260, 0.75), (340, 0.5)]
+    y = np.zeros(T)
+    t = np.arange(T)
+    for n0, phi in events:
+        y += 2.0 * h_cont(t - n0 - phi)
+    y = y + 0.5 + sn * rng.standard_normal(T)
+
+    g2 = np.asarray(exp2ar(jnp.asarray(D), jnp.asarray(R)))
+    res = mcmc_spikes(jnp.asarray(y[None], jnp.float32),
+                      jnp.asarray(g2[None], jnp.float32),
+                      jnp.asarray([sn], jnp.float32),
+                      key=jax.random.PRNGKey(5), n_iter=2500, n_burn=500,
+                      sample_g=False)
+    sm = np.asarray(res.spike_mean[0])
+    for n0, phi in events:
+        w = sm[n0 - 3:n0 + 5]
+        tt = np.arange(n0 - 3, n0 + 5)
+        assert w.sum() > 0.3, (n0, w)
+        t_est = float((w * tt).sum() / w.sum())
+        err = t_est - (n0 + phi)
+        assert abs(err) < 1.0, (n0, phi, err)
+        # the (1 - phi) ceil-quantization structure, +-0.25 frame slack
+        assert abs(err - (1.0 - phi)) < 0.25, (n0, phi, err)
