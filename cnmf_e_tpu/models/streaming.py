@@ -37,8 +37,14 @@ from cnmf_e_tpu.ops.ring import (apply_ring, fit_ring_weights,
                                  ring_offsets)
 
 
-def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
+def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W, spmd=False):
     X = Yb - b0[None] - jnp.einsum("khw,kt->thw", A, C_b)
+    if spmd:
+        # mesh path: the XLA weighted-shift stencil partitions over the
+        # 'patch' axis with automatic ICI halo exchange (pallas_call does
+        # not partition under GSPMD)
+        from cnmf_e_tpu.ops.ring import apply_ring
+        return Yb - (apply_ring(weights, X, H, W, radius) + b0[None])
     # Pallas stencil on TPU (one HBM read of the block): the XLA
     # weighted-shift form materializes R shifted copies of the block on
     # the TPU backend, which blows device memory at 1000-frame blocks
@@ -53,7 +59,7 @@ def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W):
 
 
 def _prefetch_device_blocks(store: MovieStore, slicer=None,
-                            sub_blocks: int = 1):
+                            sub_blocks: int = 1, sharding=None):
     """Iterate frame chunks with one-chunk-ahead disk read + device upload.
 
     The tunneled host->device transfer is the measured wall of the
@@ -87,7 +93,9 @@ def _prefetch_device_blocks(store: MovieStore, slicer=None,
         blk = store.read_block(i)[s0:s0 + n]
         chunk = slicer(i * fpb + s0, blk) if slicer is not None \
             else np.asarray(blk)
-        return jax.device_put(chunk)
+        # mesh callers pass the movie sharding: the chunk lands sharded
+        # (frame, patch) across devices straight from the host buffer
+        return jax.device_put(chunk, sharding)
 
     # BACKPRESSURE: device_put is async on the tunneled runtime and the
     # caller's loop runs far ahead of the link — without a bound, an
@@ -126,10 +134,11 @@ def _block_temporal_U_raw(Yb, Ad):
     return Ad @ Yb.reshape(Yb.shape[0], -1).T, jnp.sum(Yb, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
-def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W):
+@functools.partial(jax.jit, static_argnames=("radius", "H", "W", "spmd"))
+def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W,
+                           spmd=False):
     Yb = Yb.astype(jnp.float32)
-    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W)
+    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W, spmd)
     return Ad @ Ysig.reshape(Yb.shape[0], -1).T
 
 
@@ -147,27 +156,48 @@ def _block_Bf(Yb_s, A, Cc_s, Ymean, j0):
     return Yb_s - Ymean[None] - jnp.einsum("khw,kt->thw", A, Cc_blk)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "H", "W"))
-def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W):
+@functools.partial(jax.jit, static_argnames=("radius", "H", "W", "spmd"))
+def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W,
+                     spmd=False):
     Yb = Yb.astype(jnp.float32)
-    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W)
+    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W, spmd)
     return U + Ysig.reshape(Yb.shape[0], -1).T @ C_blk.T
 
 
 def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                   n_outer: int = 2, init_budget_frames: int = 4000,
                   verbose: bool = False,
-                  snapshot_path: Optional[str] = None) -> CNMFEState:
+                  snapshot_path: Optional[str] = None,
+                  mesh=None) -> CNMFEState:
     """Run CNMF-E streaming frame blocks from a :class:`MovieStore`.
 
     ``snapshot_path``: optional .npz path — after every outer iteration
     the footprints (float16) + active mask are saved there, so a
     multi-hour full-scale run yields a scoreable artifact even if a later
     iteration is interrupted (the reference's intermediate_results.mat
-    discipline, ``update_temporal_parallel.m:300-311``)."""
+    discipline, ``update_temporal_parallel.m:300-311``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ("patch", "frame")
+    axes — out-of-core x multi-chip composition (BASELINE config 5's
+    "patch-sharded across N>=2 hosts"): every streamed chunk is
+    ``device_put`` with the (frame, patch) movie sharding, the footprints
+    live patch-sharded, and the per-block Gram accumulations run as SPMD
+    programs whose contractions reduce over the sharded axes with XLA
+    collectives (the psum form of the reference's cross-patch reduce,
+    ``update_spatial_batch.m:20-35`` + ``Sources2D.m:268-325``). The ring
+    stencil takes the XLA shift form (automatic ICI halo on 'patch');
+    solver sweeps run the partitionable XLA path instead of Pallas."""
     params = params or CNMFEParams.preset_1p()
     T, H, W = store.shape
     radius = params.background.ring_radius
+    spmd = mesh is not None
+    if spmd:
+        from cnmf_e_tpu.parallel.mesh import (footprint_sharding,
+                                              movie_sharding)
+        mov_s = movie_sharding(mesh)
+        fp_s = footprint_sharding(mesh)
+    else:
+        mov_s = fp_s = None
     # callable messages are only evaluated when verbose — several embed
     # device scalars (merge counts, n_active) whose formatting forces a
     # host sync in the async dispatch pipeline
@@ -296,6 +326,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
 
     for it in range(n_outer):
         A = state.A
+        if spmd:
+            A = jax.device_put(A, fp_s)
 
         # ---- temporal pass 1: Gram-accumulated HALS over blocks ---------
         # U = A^T Ysig accumulates per block (K x T fits on device even at
@@ -313,7 +345,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             # mean-subtraction of U is a separable rank-1 correction)
             acc = jnp.zeros((H, W), jnp.float32)
             for t0, Yb in _prefetch_device_blocks(store,
-                                                  sub_blocks=sub_blocks):
+                                                  sub_blocks=sub_blocks,
+                                                  sharding=mov_s):
                 Ub, s = _block_temporal_U_raw(Yb, Ad)
                 U_parts.append(Ub)
                 acc = acc + s
@@ -322,17 +355,20 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                  - (Ad @ Ymean.reshape(-1))[:, None])        # (K, T)
         else:
             for t0, Yb in _prefetch_device_blocks(store,
-                                                  sub_blocks=sub_blocks):
+                                                  sub_blocks=sub_blocks,
+                                                  sharding=mov_s):
                 C_blk = state.C[:, t0:t0 + Yb.shape[0]]
                 U_parts.append(_block_temporal_U_ring(
-                    Yb, Ad, A, C_blk, state.b0, weights, radius, H, W))
+                    Yb, Ad, A, C_blk, state.b0, weights, radius, H, W,
+                    spmd=spmd))
             U = jnp.concatenate(U_parts, axis=1)             # (K, T)
         del U_parts
         C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
         from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
         C_raw = hals_temporal_sweeps(U, V, C0,
                                      n_iter=params.temporal.n_iter,
-                                     active=state.active)
+                                     active=state.active,
+                                     use_pallas=False if spmd else None)
         # release the solver inputs before the baseline/deconv peak —
         # U + C0 are another 1.8 GB of full-T buffers at config 5 (the
         # async runtime frees them once the sweep program retires)
@@ -366,7 +402,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             return np.ascontiguousarray(blk[off::stride])
 
         Bf_rows = []
-        for t0, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer):
+        for t0, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer,
+                                                sharding=mov_s):
             j0 = -(-t0 // stride)            # first global grid col here
             Bf_rows.append(_block_Bf(Yb_s, A, Cc_s, Ymean, j0))
         Bf_fit = jnp.concatenate(Bf_rows, axis=0)
@@ -380,10 +417,11 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         C = state.C
         U = jnp.zeros((H * W, K_cap), jnp.float32)
         for t0, Yb in _prefetch_device_blocks(store,
-                                              sub_blocks=sub_blocks):
+                                              sub_blocks=sub_blocks,
+                                              sharding=mov_s):
             C_blk = C[:, t0:t0 + Yb.shape[0]]
             U = _block_spatial_U(U, Yb, A, C_blk, state.b0, weights,
-                                 radius, H, W)
+                                 radius, H, W, spmd=spmd)
         # HALS sweeps on the accumulated Grams — the same blocked
         # Gauss-Seidel program every in-memory spatial update runs
         # (ops/hals.py). A bespoke per-neuron fori_loop here compiled a
@@ -394,7 +432,8 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
         V = C @ C.T
         Ad = A.reshape(K_cap, -1).T
-        Ad = hals_spatial_sweeps(U, V, Ad, n_iter=params.spatial.n_iter)
+        Ad = hals_spatial_sweeps(U, V, Ad, n_iter=params.spatial.n_iter,
+                                 use_pallas=False if spmd else None)
         state = state.replace(
             A=Ad.T.reshape(K_cap, H, W) * state.active[:, None, None])
         log(f"iter {it}: spatial")

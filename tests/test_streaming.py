@@ -291,3 +291,47 @@ def test_streaming_snapshot_resume_preserves_ar_order(tmp_path):
     g_resumed = np.sort(
         np.asarray(state1.g)[:act.sum()], axis=0)
     np.testing.assert_allclose(g_resumed, g_saved, rtol=1e-6)
+
+
+def test_streaming_mesh_shard_count_invariant(tmp_path):
+    """Out-of-core x mesh composition (BASELINE config 5 "patch-sharded
+    across N>=2 hosts"): `fit_streaming(mesh=...)` streams every chunk
+    into a (frame, patch)-sharded array and the per-block Gram
+    accumulations run SPMD — the result must match the unsharded
+    streaming fit (shard-count invariance, SURVEY section 2.9)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cnmf_e_tpu.parallel.mesh import make_mesh
+
+    gt = simulate_movie(seed=63, H=48, W=48, T=600, K=6, gSig=2.5,
+                        sn=0.08, bg_strength=0.7, min_dist=12.0,
+                        spike_rate=0.04)
+    src = str(tmp_path / "m.npy")
+    np.save(src, gt.Y)
+    store = distribute_movie(src, str(tmp_path / "store"),
+                             frames_per_block=200)
+    params = CNMFEParams(
+        init=InitParams(gSig=2.5, gSiz=8, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=16, seeds_per_round=8, max_rounds=4),
+        background=BackgroundParams(model="ring", ring_radius=7),
+        merge=MergeParams(dmin=4.0),
+    )
+
+    state_solo = fit_streaming(store, params, n_outer=2,
+                               init_budget_frames=300)
+    mesh = make_mesh(n_patch=4, n_frame=2)
+    state_mesh = fit_streaming(store, params, n_outer=2,
+                               init_budget_frames=300, mesh=mesh)
+
+    n_solo = int(state_solo.n_active())
+    n_mesh = int(state_mesh.n_active())
+    assert n_mesh == n_solo, (n_mesh, n_solo)
+    A_s = np.asarray(state_solo.masked_A())[:n_solo]
+    A_m = np.asarray(state_mesh.masked_A())[:n_mesh]
+    # same pipeline, different reduction orders: near-exact agreement
+    np.testing.assert_allclose(A_m, A_s, atol=5e-4)
+    C_s = np.asarray(state_solo.C)[:n_solo]
+    C_m = np.asarray(state_mesh.C)[:n_mesh]
+    atol = 5e-3 * max(np.abs(C_s).max(), 1.0)
+    np.testing.assert_allclose(C_m, C_s, atol=atol)
