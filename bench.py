@@ -135,11 +135,16 @@ def bench_hals(H=256, W=256, T=2000, K=192, radius=13, n_iter=10):
         # (bitwise-equal to the sequential sweep; tests/test_coloring.py)
         "colored_every_5": dict(chain=n_iter, deconv_every=5,
                                 colored=True),
+        # hi_lo: explicit 2-way bf16 split dots (3 MXU passes vs
+        # HIGHEST's ~6) — headline-eligible only if the chained drift
+        # probe stays within tolerance (scripts_dev/chain_drift.py)
+        "colored_hilo_every_5": dict(chain=n_iter, deconv_every=5,
+                                     colored=True, dots="hi_lo"),
         # diagnostic (not headline-eligible): single-pass bf16 MXU dots
         # in the sweep kernel instead of the f32-emulated HIGHEST dots —
         # bounds what the exact path leaves on the table
         "colored_fast_every_5": dict(chain=n_iter, deconv_every=5,
-                                     colored=True, fast_dots=True),
+                                     colored=True, dots="fast"),
     }
     variants = {}
     for name, kw in configs.items():

@@ -104,7 +104,14 @@ def _prefetch_device_blocks(store: MovieStore, slicer=None,
     # one-element fetch of chunk j-LAG before yielding chunk j caps the
     # in-flight window at LAG chunks while still overlapping read,
     # upload, and compute.
-    LAG = 4
+    # large chunks (config-5 scale: ~260 MB f16 each, ~1 GB once cast to
+    # f32 with program transients) keep a tighter window — 4-deep at that
+    # size contributed to the r5 full-scale HBM OOM
+    itemsize = np.dtype(
+        store.manifest.get("source_dtype", "float32")).itemsize
+    chunk_bytes = (min(fpb, -(-fpb // max(sub_blocks, 1)))
+                   * int(np.prod(store.shape[1:])) * itemsize)
+    LAG = 2 if chunk_bytes > (128 << 20) else 4
     inflight = []
 
     def _force(x):
@@ -129,9 +136,16 @@ def _block_temporal_U_raw(Yb, Ad):
     U[:, t] = A^T (Y_t - Ymean) = (A^T Y_t) - A^T Ymean — so the global
     mean image comes out of the SAME pass and the former dedicated
     mean-accumulation pass (a full movie upload) disappears; the caller
-    applies the rank-1 correction once Ymean is known."""
+    applies the rank-1 correction once Ymean is known.
+
+    The contraction is written with native contracting dims (einsum, no
+    ``.T``): an explicit transpose of the f32-cast block is a second
+    0.5 GB transient per chunk at config-5 scale — the r5 full-scale
+    first pass OOMed the 16 GB chip with the ``@ .T`` form."""
     Yb = Yb.astype(jnp.float32)
-    return Ad @ Yb.reshape(Yb.shape[0], -1).T, jnp.sum(Yb, axis=0)
+    Yf = Yb.reshape(Yb.shape[0], -1)                 # (t, d)
+    return (jnp.einsum("kd,td->kt", Ad, Yf),
+            jnp.sum(Yb, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W", "spmd"))
@@ -139,7 +153,8 @@ def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W,
                            spmd=False):
     Yb = Yb.astype(jnp.float32)
     Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W, spmd)
-    return Ad @ Ysig.reshape(Yb.shape[0], -1).T
+    return jnp.einsum("kd,td->kt", Ad,
+                      Ysig.reshape(Yb.shape[0], -1))
 
 
 @jax.jit
@@ -161,7 +176,8 @@ def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W,
                      spmd=False):
     Yb = Yb.astype(jnp.float32)
     Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W, spmd)
-    return U + Ysig.reshape(Yb.shape[0], -1).T @ C_blk.T
+    return U + jnp.einsum("td,kt->dk", Ysig.reshape(Yb.shape[0], -1),
+                          C_blk)
 
 
 def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
@@ -319,7 +335,10 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     # spatial/temporal update re-applies `active`, merges zero dropped
     # slots), so state.A / state.C are used directly below — masked_A()
     # would allocate a second 2.4 GB footprint array at full scale
-    sub_blocks = max(1, int(round(fpb * H * W * 4 / (512 << 20))))
+    # target ~256 MB of f32 frames per chunk: at config-5 scale the
+    # former 512 MB chunks (x cast + contraction transients x in-flight
+    # window) breached the 16 GB chip in the r5 first full-scale pass
+    sub_blocks = max(1, -(-fpb * H * W * 4 // (256 << 20)))
 
     weights = None
     Ymean = None
@@ -336,7 +355,10 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # EXACTLY as in-memory. A diagonal projection (A Ysig)/||a||^2
         # would leave overlapping neurons' traces correlated and biased.
         Ad = A.reshape(K_cap, -1)
-        V = Ad @ Ad.T                                        # (K, K)
+        # native contracting dims: `Ad @ Ad.T` lowers with an explicit
+        # transposed 2.4 GB copy of A at config-5 scale (part of the r5
+        # first-pass OOM); dot_general contracts d directly
+        V = jnp.einsum("kd,ld->kl", Ad, Ad)                  # (K, K)
         aa = jnp.diag(V)   # NOT sum(Ad*Ad): that materializes a (K, d)
         #                    temp — 2.4 GB at full scale
         U_parts = []

@@ -91,3 +91,74 @@ def block_free_flags(coupling: jnp.ndarray, block: int = 16,
     Bd = C[idx[:, :, None], idx[:, None, :]]             # (nb, B, B)
     off = Bd.sum((1, 2)) - jnp.trace(Bd, axis1=1, axis2=2)
     return (off == 0).astype(jnp.int32)
+
+
+def class_step_schedule(colors: jnp.ndarray, block: int,
+                        n_cap: Optional[int] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                   jnp.ndarray]:
+    """Class-aligned sweep schedule for the Pallas HALS kernel.
+
+    Assumes rows are already in colored order (``color_order``). Emits
+    one step per ``block`` rows of each color class, RESTARTING the
+    block grid at every class boundary: step j covers rows
+    [starts[j], min(starts[j] + block, ends[j])) where ends[j] is the
+    class end — so every step's updated rows are pairwise independent
+    (same color) and the kernel applies them in ONE vectorized update
+    with an M = block residual matmul (update_order.m:1-21 semantics,
+    M-batched for the MXU instead of the old fixed-16 blocks).
+
+    Dynamic class sizes can overflow the static step capacity
+    ``n_cap`` (default ceil(K/block) + 32); the schedule then falls back
+    to the plain block grid with per-block independence flags — the
+    kernel's sequential path keeps correctness.
+
+    Returns (starts, ends, free, n_steps): (n_cap,) int32 x3 + scalar
+    int32. Unused slots carry start = end = K (no rows; the kernel's
+    traced trip count never reaches them anyway).
+    """
+    K = colors.shape[0]
+    nb_static = -(-K // block)
+    if n_cap is None:
+        n_cap = nb_static + 32
+    # the overflow fallback emits one step per plain block — the
+    # capacity must hold at least those (SMEM reads past n_cap are OOB)
+    n_cap = max(n_cap, nb_static)
+    counts = jnp.bincount(colors, length=K)                 # per color
+    cstart = jnp.cumsum(counts) - counts                    # class starts
+    cend = cstart + counts
+    r = jnp.arange(K)
+    cs = colors  # rows already sorted by color: colors[r] nondecreasing
+    # a row opens a new step iff its offset within its class is 0 mod B
+    opens = ((r - cstart[cs]) % block) == 0
+    step_of_open = jnp.cumsum(opens) - 1
+    n_steps = jnp.sum(opens).astype(jnp.int32)
+
+    fits = n_steps <= n_cap
+    # class-aligned schedule (scatter the opening rows' start/end)
+    big = jnp.int32(K)
+    starts_cls = jnp.full((n_cap,), big, jnp.int32).at[
+        jnp.where(opens, step_of_open, n_cap)].set(
+        r.astype(jnp.int32), mode="drop")
+    ends_cls = jnp.full((n_cap,), big, jnp.int32).at[
+        jnp.where(opens, step_of_open, n_cap)].set(
+        cend[cs].astype(jnp.int32), mode="drop")
+    free_cls = jnp.ones((n_cap,), jnp.int32)
+
+    # fallback: plain block grid (starts j*B, gated only by K)
+    nb = -(-K // block)
+    jj = jnp.arange(n_cap)
+    starts_blk = jnp.where(jj < nb, jj * block, big).astype(jnp.int32)
+    ends_blk = jnp.where(jj < nb, jnp.int32(K), big)
+    # a fallback block is free iff no class boundary crosses it: every
+    # row in the block shares the color of the block's first row
+    first_color = cs[jnp.clip(starts_blk, 0, K - 1)]
+    last_row = jnp.clip(jnp.minimum(starts_blk + block, K) - 1, 0, K - 1)
+    free_blk = (cs[last_row] == first_color).astype(jnp.int32) \
+        * (jj < nb)
+
+    starts = jnp.where(fits, starts_cls, starts_blk)
+    ends = jnp.where(fits, ends_cls, ends_blk)
+    free = jnp.where(fits, free_cls, free_blk)
+    n_used = jnp.where(fits, n_steps, jnp.int32(nb))
+    return starts, ends, free, n_used

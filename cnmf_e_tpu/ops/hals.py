@@ -22,7 +22,9 @@ def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                         mask: Optional[jnp.ndarray] = None,
                         n_iter: int = 5, block: int = 16,
                         use_pallas: Optional[bool] = None,
-                        flags: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                        flags: Optional[jnp.ndarray] = None,
+                        schedule=None,
+                        dots: str = "highest") -> jnp.ndarray:
     """Gauss-Seidel spatial sweeps given precomputed Grams.
 
     On a single TPU the multi-sweep solve dispatches to the fused Pallas
@@ -49,7 +51,8 @@ def hals_spatial_sweeps(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
         out = hals_sweeps_rows_pallas(
             U.T, V, A.T, gate=jnp.ones(K, jnp.float32),
             mask=None if mask is None else mask.T,
-            n_iter=n_iter, block=block, relu=True, flags=flags)
+            n_iter=n_iter, block=block, relu=True, flags=flags,
+            schedule=schedule, dots=dots)
         return out.T
     cc = jnp.diag(V)
     if mask is not None:
@@ -101,7 +104,8 @@ def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
                              n_iter: int = 5, block: int = 16,
                              use_pallas: Optional[bool] = None,
                              flags: Optional[jnp.ndarray] = None,
-                             fast_dots: bool = False
+                             schedule=None,
+                             dots: str = "highest"
                              ) -> jnp.ndarray:
     """Row-major spatial sweeps: A, U are (K, d) — the native
     ``A.reshape(K, d)`` layout. On a single TPU the whole multi-sweep
@@ -124,7 +128,7 @@ def hals_spatial_sweeps_rows(U: jnp.ndarray, V: jnp.ndarray, A: jnp.ndarray,
         return hals_sweeps_rows_pallas(
             U, V, A, gate=jnp.ones(A.shape[0], jnp.float32), mask=mask,
             n_iter=n_iter, block=block, relu=True, flags=flags,
-            fast_dots=fast_dots)
+            schedule=schedule, dots=dots)
     out = hals_spatial_sweeps(U.T, V, A.T,
                               mask=None if mask is None else mask.T,
                               n_iter=n_iter, block=block, use_pallas=False)
@@ -155,15 +159,19 @@ def hals_spatial(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
     V = (C @ C.T - T * (Cmean @ Cmean.T)).astype(A.dtype)   # (K, K)
     if not (colored and mask is not None):
         return hals_spatial_sweeps(U, V, A, mask=mask, n_iter=n_iter)
-    from cnmf_e_tpu.ops.coloring import (block_free_flags, color_order,
-                                         overlap_adjacency)
+    from cnmf_e_tpu.ops.coloring import (class_step_schedule,
+                                         greedy_color, overlap_adjacency)
     M = mask.T                                              # (K, d)
-    order, inverse = color_order(overlap_adjacency(M))
-    Mf = M[order].astype(jnp.float32)
-    flags = block_free_flags(Mf @ Mf.T, block=16)
+    colors = greedy_color(overlap_adjacency(M))
+    order = jnp.argsort(colors, stable=True)
+    inverse = jnp.argsort(order)
+    # class-aligned step schedule: every step updates one color class's
+    # rows in a single M = 64 vectorized matmul step (update_order.m
+    # semantics, M-batched for the MXU — round-5 sweep-latency lever)
+    sched = class_step_schedule(colors[order], block=64)
     out = hals_spatial_sweeps(U[:, order], V[order][:, order],
                               A[:, order], mask=mask[:, order],
-                              n_iter=n_iter, flags=flags)
+                              n_iter=n_iter, block=64, schedule=sched)
     return out[:, inverse]
 
 
@@ -172,7 +180,8 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
                          active: Optional[jnp.ndarray] = None,
                          use_pallas: Optional[bool] = None,
                          flags: Optional[jnp.ndarray] = None,
-                         fast_dots: bool = False) -> jnp.ndarray:
+                         schedule=None, block: int = 16,
+                         dots: str = "highest") -> jnp.ndarray:
     """Gauss-Seidel temporal sweeps given precomputed Grams.
 
     U = A^T Ysig (K, T), V = A^T A (K, K); U stays fixed across sweeps
@@ -190,8 +199,9 @@ def hals_temporal_sweeps(U: jnp.ndarray, V: jnp.ndarray, C: jnp.ndarray,
         gate = (active if active is not None
                 else jnp.ones(C.shape[0], jnp.float32))
         return hals_sweeps_rows_pallas(U, V, C, gate=gate,
-                                       n_iter=n_iter, relu=False,
-                                       flags=flags, fast_dots=fast_dots)
+                                       n_iter=n_iter, block=block,
+                                       relu=False, flags=flags,
+                                       schedule=schedule, dots=dots)
     # blocked Gauss-Seidel (same scheme as the spatial path): the naive
     # per-neuron update reads the full (K, T) C for its residual matvec —
     # K reads of C per sweep (~2 TB/sweep at the 100k-frame scale config,
@@ -259,17 +269,18 @@ def hals_temporal(Y: jnp.ndarray, A: jnp.ndarray, C: jnp.ndarray,
     if not colored:
         C = hals_temporal_sweeps(U, V, C, n_iter=n_iter, active=active)
         return C, jnp.diag(V)
-    from cnmf_e_tpu.ops.coloring import (block_free_flags, color_order)
+    from cnmf_e_tpu.ops.coloring import class_step_schedule, greedy_color
     K = V.shape[0]
     adj = (V != 0) & ~jnp.eye(K, dtype=bool)
-    order, inverse = color_order(adj)
+    colors = greedy_color(adj)
+    order = jnp.argsort(colors, stable=True)
+    inverse = jnp.argsort(order)
     Vp = V[order][:, order]
     act = None if active is None else active[order]
-    gate = (act.astype(jnp.float32) if act is not None
-            else jnp.ones(K, jnp.float32))
-    flags = block_free_flags(Vp, block=16, gate=gate)
+    sched = class_step_schedule(colors[order], block=64)
     out = hals_temporal_sweeps(U[order], Vp, C[order],
-                               n_iter=n_iter, active=act, flags=flags)
+                               n_iter=n_iter, active=act, block=64,
+                               schedule=sched)
     return out[inverse], jnp.diag(V)
 
 

@@ -12,56 +12,59 @@ over ROWS (pixels for the spatial factor, frames for the temporal one) —
 every coupling term goes through the K x K Gram. So this kernel tiles the
 row axis into VMEM and runs ALL sweeps on a resident tile: exactly one
 HBM read of (A, U) and one write of A for the entire multi-sweep solve,
-with the same blocked update order as the XLA path (fixed point AND
+with the same update order as the XLA path (fixed point AND
 iterate-for-iterate identical — bitwise 0 diff measured on-chip with the
 shipped HIGHEST-precision dots; pinned against the float64 oracle in
 tests/test_pallas_hals.py).
 
+Round-5 structure — the CLASS-SCHEDULED sweep (replaces round 4's fixed
+16-row blocks + free flags): the caller orders neurons by a greedy
+coloring of the overlap graph (``ops/coloring.py``; the reference's own
+independent-set trick, ``utilities/update_order.m:1-21``) and passes a
+STEP SCHEDULE (starts/ends/free arrays in SMEM + a traced step count):
+each step covers up to ``block`` rows of ONE color class — the block
+grid restarts at every class boundary, with the step's update
+positionally gated to [start, end). Because all updated rows of a step
+are pairwise independent (exact-zero Gram coupling / disjoint masks),
+the vectorized step update equals the sequential loop exactly in real
+arithmetic; in f32 the class-aligned partition recomputes residuals
+where the fixed-block path applies delta corrections, an ulp-level
+reassociation difference (pinned vs the float64 oracle in
+tests/test_pallas_hals.py). The step's block-residual matmul runs with
+M = block (64+) instead of 16 — the round-4 verdict's "color-batched
+residual matmuls" lever.
+Steps are dynamic SUBLANE offsets (unrestricted for f32), so no
+physical padding of the factors or Grams is needed. Non-free steps
+(schedule overflow fallback) take the sequential inner loop with a
+traced trip count.
+
 Layout/performance notes (extending the ops/pallas_ring.py rule list):
   * factors run ROW-major (K sublanes, row-axis lanes) — the native
-    ``A.reshape(K, d)`` layout. Neuron indexing = dynamic SUBLANE
-    offsets (unrestricted for f32); lanes are touched only by full-width
-    ops or TD-aligned DMA slices.
-  * V is a symmetric Gram, so the block residual needs only sublane
-    slices ``V[k0:k0+B, :]``; the in-block correction needs single
-    COLUMNS of the diagonal block, which would be dynamic lane slices —
-    those rows are precomputed outside as a (nb*B, B) stack indexed by
-    sublane instead.
-  * the cost is LATENCY (tiles x sweeps x K sequential row updates), so
-    tile size directly divides wall time. The auto-blocked grid pipeline
-    DOUBLE-BUFFERS every operand (halving the feasible tile); inputs
-    therefore stay in HBM (explicit ``pltpu.HBM`` — ANY may spill them
-    into VMEM) and the kernel DMAs single-buffered tiles itself: 2-3
-    VMEM-resident buffers instead of 6-8 -> ~2x the tile width. The
-    ~25 us/tile serialized DMA is noise against the ~0.6 ms/tile solve.
-  * MXU dots inside kernels default to single-pass bf16; the sweeps
-    amplify that rounding (measured 0.14 abs drift on temporal Grams
-    with O(100) entries). ``Precision.HIGHEST`` (f32 emulation) is
-    bitwise-identical to the XLA path; Mosaic does NOT lower
-    ``Precision.HIGH``, so the only cheaper option is an explicit
-    bf16 hi/lo split (not worth it: a DEFAULT-dot diagnostic measured
-    the dots at a minority of kernel time).
-  * one kernel serves both factors: spatial = relu + optional support
-    mask, temporal = no relu; per-row gating (cc > 0, `active`) arrives
-    as a float vector.
-  * FREE-BLOCK fast path (``flags``): a block whose rows are pairwise
-    non-interacting — zero Gram coupling for the temporal factor,
-    disjoint support masks for the spatial one — updates all B rows in
-    ONE vectorized step instead of B sequential rank-1 updates, bitwise
-    identically (the sequential correction dot sums exact zeros). This
-    is the reference's own independent-set trick
-    (``utilities/update_order.m:1-21``, used by
-    ``update_temporal_components.m`` to batch non-overlapping neurons)
-    recast for the TPU: the caller orders neurons by a greedy coloring
-    of the overlap graph so blocks are single-color, and passes a
-    per-block flag; the sequential-update latency (the round-3/4
-    bottleneck) collapses from K to ~n_blocks steps.
+    ``A.reshape(K, d)`` layout. Step starts are dynamic SUBLANE
+    offsets; lanes are touched only by full-width ops or TD-aligned DMA
+    slices.
+  * V is a symmetric Gram, so the step residual needs only sublane
+    slices ``V[sc:sc+B, :]``; the sequential fallback's correction
+    needs single COLUMNS of the diagonal block, precomputed outside as
+    a (n_cap*B, B) row stack indexed by sublane.
+  * the cost is LATENCY (tiles x sweeps x sequential steps), so tile
+    size and step count directly divide wall time. The auto-blocked
+    grid pipeline DOUBLE-BUFFERS every operand; inputs therefore stay
+    in HBM (explicit ``pltpu.HBM``) and the kernel DMAs single-buffered
+    tiles itself.
+  * in-kernel dot precision (``dots``): "highest" (f32 emulation,
+    bitwise-identical to the XLA path; ~6 bf16 passes), "hi_lo" (an
+    explicit 2-way bf16 split, 3 passes: hi*hi + hi*lo + lo*hi — ~2x
+    cheaper dots at ~2^-16 relative error; validate chained drift
+    before promoting), "fast" (single-pass bf16 — measured 33% max-rel
+    C drift over a 10-iteration chain, diagnostics only). Mosaic does
+    not lower ``Precision.HIGH``, hence the explicit split.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,23 +73,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _make_dot(dots: str):
+    f32 = jnp.float32
+
+    def dot(a, b):
+        if dots == "highest":
+            return jnp.dot(a, b, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)
+        if dots == "fast":
+            return jnp.dot(a, b, preferred_element_type=f32,
+                           precision=jax.lax.Precision.DEFAULT)
+        # hi_lo: 2-way bf16 split, drop the lo*lo term (3 MXU passes)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+        d = jax.lax.Precision.DEFAULT
+        return (jnp.dot(ah, bh, preferred_element_type=f32, precision=d)
+                + jnp.dot(ah, bl, preferred_element_type=f32, precision=d)
+                + jnp.dot(al, bh, preferred_element_type=f32, precision=d))
+
+    return dot
+
+
 def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
-                      has_mask: bool, has_flags: bool,
-                      fast_dots: bool = False):
-    """Kernel body. VMEM refs: V (Kp, Kp) symmetric Gram; Vbb (nb*B, B)
-    stacked diagonal-block rows (Vbb[j*B+i, :] = V[k0+i, k0:k0+B]);
-    cc (Kp, 1) update denominators; gate (Kp, 1) 1.0 where the row
-    updates. SMEM (when ``has_flags``): flags (nb,) int32, 1 = the block's
-    rows are pairwise independent (free-block vectorized update). HBM
-    refs: U, [mask], X inputs and the out buffer, all (Kp, dp); the
-    kernel DMAs one (Kp, TD) tile of each in, solves every sweep in
-    place, and DMAs the tile back."""
-    nb = Kp // B
+                      has_mask: bool, dots: str):
+    """Kernel body. SMEM refs: starts/ends/free (n_cap,) int32 step
+    schedule + n_steps (1,) int32 traced trip count. VMEM refs:
+    V (Kp, Kp) symmetric Gram; Vbb (n_cap*B, B) stacked diagonal blocks
+    (Vbb[j*B+i, :] = V[sc_j+i, sc_j:sc_j+B]); cc (Kp, 1) update
+    denominators; gate (Kp, 1) 1.0 where the row updates. HBM refs:
+    U, [mask], X inputs and the out buffer, all (Kp, dp); the kernel
+    DMAs one (Kp, TD) tile of each in, solves every sweep in place, and
+    DMAs the tile back."""
+    dot = _make_dot(dots)
 
     def kernel(*refs):
-        flags_ref = None
-        if has_flags:
-            flags_ref, refs = refs[0], refs[1:]
+        (st_ref, en_ref, fr_ref, ns_ref, refs) = (refs[0], refs[1],
+                                                  refs[2], refs[3],
+                                                  refs[4:])
         if has_mask:
             (V_ref, Vbb_ref, cc_ref, gate_ref, U_hbm, mask_hbm, X_hbm,
              out_hbm, Xs, Us, Ms, R_ref, sems) = refs
@@ -95,8 +120,6 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
              out_hbm, Xs, Us, R_ref, sems) = refs
             mask_hbm = Ms = None
 
-        prec = (jax.lax.Precision.DEFAULT if fast_dots
-                else jax.lax.Precision.HIGHEST)
         i = pl.program_id(0)
         off = pl.multiple_of(i * TD, 128)
         cp_x = pltpu.make_async_copy(X_hbm.at[:, pl.ds(off, TD)], Xs,
@@ -117,26 +140,47 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
             # path pre-applies the mask the same way)
             Xs[:, :] = jnp.where(Ms[:, :] > 0, Xs[:, :], 0.0)
 
-        def block_update(j, _):
-            k0 = j * B
-            Vb = V_ref[pl.ds(k0, B), :]                     # (B, Kp)
-            Ub = Us[pl.ds(k0, B), :]                        # (B, TD)
-            X0 = Xs[pl.ds(k0, B), :]                        # snapshot
-            # block residual: one (B, Kp) x (Kp, TD) MXU matmul reads the
-            # whole resident factor once per block; staged through VMEM
-            # scratch so the inner loop's row access is a ref dynamic
-            # slice (value dynamic_slice has no Mosaic lowering)
-            R_ref[:, :] = Ub - jnp.dot(Vb, Xs[:, :],
-                                       preferred_element_type=jnp.float32,
-                                       precision=prec)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
-            def inner(i, _):
-                k = k0 + i
-                delta = Xs[pl.ds(k0, B), :] - X0            # (B, TD)
-                w = Vbb_ref[pl.ds(j * B + i, 1), :]         # (1, B)
-                r = R_ref[pl.ds(i, 1), :] - jnp.dot(
-                    w, delta, preferred_element_type=jnp.float32,
-                    precision=prec)
+        def step_update(j, _):
+            s = st_ref[j]
+            e = en_ref[j]
+            fr = fr_ref[j]
+            # clamp the slice so sc + B <= Kp; rows below `s` (previous
+            # classes, already at their fixed point) are excluded by the
+            # positional gate, never re-updated
+            sc = jnp.minimum(s, Kp - B)
+            Vb = V_ref[pl.ds(sc, B), :]                     # (B, Kp)
+            Ub = Us[pl.ds(sc, B), :]                        # (B, TD)
+            X0 = Xs[pl.ds(sc, B), :]                        # snapshot
+            # step residual: one (B, Kp) x (Kp, TD) MXU matmul reads the
+            # whole resident factor; staged through VMEM scratch so the
+            # fallback's row access is a ref dynamic slice (value
+            # dynamic_slice has no Mosaic lowering)
+            R_ref[:, :] = Ub - dot(Vb, Xs[:, :])
+
+            rows = sc + rows_i                              # (B, 1)
+            pos = ((rows >= s) & (rows < e)).astype(jnp.float32)
+
+            # free step: all gated rows update in one vectorized step —
+            # bitwise identical to the sequential loop (same-class rows
+            # have exact-zero coupling, so its correction dot sums zeros)
+            ccb = cc_ref[pl.ds(sc, B), :]                   # (B, 1)
+            gb = gate_ref[pl.ds(sc, B), :] * pos            # (B, 1)
+            xv = X0 + R_ref[:, :] / jnp.maximum(ccb, 1e-12)
+            if relu:
+                xv = jnp.maximum(xv, 0.0)
+            if Ms is not None:
+                xv = jnp.where(Ms[pl.ds(sc, B), :] > 0, xv, 0.0)
+            xv = gb * xv + (1.0 - gb) * X0
+            free = (fr > 0).astype(jnp.float32)
+            Xs[pl.ds(sc, B), :] = free * xv + (1.0 - free) * X0
+
+            def inner(i2, _):
+                k = sc + i2
+                delta = Xs[pl.ds(sc, B), :] - X0            # (B, TD)
+                w = Vbb_ref[pl.ds(j * B + i2, 1), :]        # (1, B)
+                r = R_ref[pl.ds(i2, 1), :] - dot(w, delta)
                 x_cur = Xs[pl.ds(k, 1), :]                  # (1, TD)
                 cc_k = cc_ref[pl.ds(k, 1), :]               # (1, 1)
                 xk = x_cur + r / jnp.maximum(cc_k, 1e-12)
@@ -144,35 +188,19 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
                     xk = jnp.maximum(xk, 0.0)
                 if Ms is not None:
                     xk = jnp.where(Ms[pl.ds(k, 1), :] > 0, xk, 0.0)
-                g = gate_ref[pl.ds(k, 1), :]                # (1, 1)
+                g = gate_ref[pl.ds(k, 1), :] \
+                    * ((k >= s) & (k < e)).astype(jnp.float32)
                 Xs[pl.ds(k, 1), :] = g * xk + (1.0 - g) * x_cur
                 return 0
 
-            if flags_ref is None:
-                jax.lax.fori_loop(0, B, inner, 0)
-                return 0
-
-            # free-block fast path: all B rows update in one vectorized
-            # step when the caller certifies pairwise independence —
-            # bitwise identical to the sequential loop (its correction
-            # dot would sum exact zeros). Mixed blocks take the
-            # sequential loop via a traced trip count (no lax.cond).
-            free = (flags_ref[j] > 0).astype(jnp.float32)
-            ccb = cc_ref[pl.ds(k0, B), :]                   # (B, 1)
-            gb = gate_ref[pl.ds(k0, B), :]                  # (B, 1)
-            xv = X0 + R_ref[:, :] / jnp.maximum(ccb, 1e-12)
-            if relu:
-                xv = jnp.maximum(xv, 0.0)
-            if Ms is not None:
-                xv = jnp.where(Ms[pl.ds(k0, B), :] > 0, xv, 0.0)
-            xv = gb * xv + (1.0 - gb) * X0
-            Xs[pl.ds(k0, B), :] = free * xv + (1.0 - free) * X0
-            n_inner = jnp.where(free > 0, 0, B)
+            # mixed steps (schedule-overflow fallback) take the
+            # sequential loop via a traced trip count (no lax.cond)
+            n_inner = jnp.where(fr > 0, 0, B)
             jax.lax.fori_loop(0, n_inner, inner, 0)
             return 0
 
         def sweep(_, carry):
-            jax.lax.fori_loop(0, nb, block_update, 0)
+            jax.lax.fori_loop(0, ns_ref[0], step_update, 0)
             return carry
 
         jax.lax.fori_loop(0, n_iter, sweep, 0)
@@ -187,51 +215,50 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
     return kernel
 
 
-def _pick_tile(Kp: int, dp: int, B: int, has_mask: bool,
-               has_flags: bool = False,
+def _pick_tile(Kp: int, dp: int, B: int, n_cap: int, has_mask: bool,
                budget_bytes: int = 14 * 2**20) -> int:
     """Largest 128-multiple row-tile fitting the 16 MB scoped-VMEM limit.
 
     Single-buffered manual-DMA layout: the (Kp, TD) X and U tiles (plus
     the optional mask tile) live once each, plus the (B, TD) residual
-    scratch and the unblocked V/Vbb/cc/gate. The free-block path keeps
-    extra (B, TD) temporaries live (the vectorized candidate and its
-    select chain); the compiler's stack accounting measured ~530 B/lane
-    beyond the plain layout at bench shapes — budgeted as 12 B-rows per
-    lane (2 compile-measured calibrations: 17.19M at TD 6016 masked,
-    16.05M at TD 7424 maskless)."""
+    scratch and the unblocked V/Vbb/cc/gate. The vectorized step keeps
+    extra (B, TD) temporaries live (the candidate and its select chain);
+    the compiler's stack accounting measured ~530 B/lane beyond the
+    plain layout at bench shapes — budgeted as 12 B-rows per lane
+    (compile-measured calibrations, round 4)."""
     n_bufs = 2 + int(has_mask)
-    fixed = Kp * Kp * 4 + 2 * Kp * B * 4 + 4 * Kp * 4 + 64 * 2**10
-    per_lane = (n_bufs * Kp + B) * 4
-    if has_flags:
-        per_lane += 12 * B * 4
+    fixed = Kp * Kp * 4 + n_cap * B * B * 4 + 4 * Kp * 4 + 64 * 2**10
+    per_lane = (n_bufs * Kp + B) * 4 + 12 * B * 4
     td = (budget_bytes - fixed) // per_lane
     td = max(128, min(int(td) // 128 * 128, dp))
     return td
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "block", "relu",
-                                             "fast_dots", "interpret"))
+                                             "dots", "interpret"))
 def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
                             gate: jnp.ndarray,
                             mask: Optional[jnp.ndarray] = None,
                             n_iter: int = 5, block: int = 16,
                             relu: bool = True,
+                            schedule: Optional[Tuple] = None,
                             flags: Optional[jnp.ndarray] = None,
-                            fast_dots: bool = False,
+                            dots: str = "highest",
                             interpret: bool = False) -> jnp.ndarray:
-    """Run ``n_iter`` blocked Gauss-Seidel sweeps on row-major factors.
+    """Run ``n_iter`` scheduled Gauss-Seidel sweeps on row-major factors.
 
     X, U: (K, d) — rows are neurons; V: (K, K) symmetric Gram;
     gate: (K,) bool/float — rows with gate == 0 keep their input value
     (covers the XLA path's ``cc > 0`` and ``active`` guards);
     mask: optional (K, d) support mask (spatial search locations);
-    flags: optional (ceil(K/block),) int — 1 marks a block whose ACTIVE
-    rows are pairwise independent (zero Gram coupling, or disjoint masks
-    for the masked spatial factor): it updates vectorized instead of
-    sequentially, bitwise identically. Produce flags + a color ordering
-    with :mod:`cnmf_e_tpu.ops.coloring` (reference:
-    ``utilities/update_order.m:1-21``).
+    schedule: optional (starts, ends, free, n_steps) from
+    ``ops.coloring.class_step_schedule`` — rows must already be in
+    colored order; every free step updates its [start, end) rows in one
+    vectorized M = block matmul step (update_order.m:1-21 semantics).
+    flags: legacy per-16-row-block independence flags — converted to a
+    block-grid schedule; ignored when ``schedule`` is given.
+    dots: in-kernel MXU dot precision ("highest" | "hi_lo" | "fast");
+    see the module docstring.
 
     Returns the updated (K, d) factor. Update order and arithmetic match
     ``ops.hals.hals_spatial_sweeps`` / ``hals_temporal_sweeps``.
@@ -260,8 +287,23 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
         if mask is not None:
             mask = jnp.pad(mask, ((0, Kp - K), (0, 0)))
 
-    TD = _pick_tile(Kp, -(-d // 128) * 128, B, mask is not None,
-                    flags is not None)
+    nb = Kp // B
+    if schedule is not None:
+        starts, ends, free, n_steps = schedule
+        n_cap = starts.shape[0]
+        # rows past K (block padding) never update: ends <= K always
+        # (class_step_schedule emits ends <= K), and gate pads to 0
+    else:
+        # block-grid schedule over the padded rows; ends gate at K
+        n_cap = nb
+        jj = jnp.arange(nb, dtype=jnp.int32)
+        starts = jj * B
+        ends = jnp.full((nb,), K, jnp.int32)
+        free = (flags.astype(jnp.int32) if flags is not None
+                else jnp.zeros((nb,), jnp.int32))
+        n_steps = jnp.int32(nb)
+
+    TD = _pick_tile(Kp, -(-d // 128) * 128, B, n_cap, mask is not None)
     dp = -(-d // TD) * TD
     if dp != d:
         U = jnp.pad(U, ((0, 0), (0, dp - d)))
@@ -273,20 +315,21 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
     gate = (gate.astype(jnp.float32) * (cc > 0))[:, None]   # (Kp, 1)
     cc = cc[:, None]
 
-    # stacked diagonal-block rows: Vbb[j*B+i, :] = V[k0+i, k0:k0+B]
-    nb = Kp // B
-    jj = jnp.arange(nb)
+    # stacked diagonal blocks at the CLAMPED step starts:
+    # Vbb[j*B+i, :] = V[sc_j+i, sc_j:sc_j+B]
+    sc_arr = jnp.clip(jnp.minimum(starts, Kp - B), 0, Kp - B)
     Vbb = jax.vmap(
-        lambda j: jax.lax.dynamic_slice(V, (j * B, j * B), (B, B)))(jj)
-    Vbb = Vbb.reshape(nb * B, B)
+        lambda s: jax.lax.dynamic_slice(V, (s, s), (B, B)))(sc_arr)
+    Vbb = Vbb.reshape(n_cap * B, B)
 
     n_tiles = dp // TD
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
-    in_specs, args = [], []
-    if flags is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.append(flags.astype(jnp.int32))
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem(), smem(), smem(), smem()]
+    args = [starts.astype(jnp.int32), ends.astype(jnp.int32),
+            free.astype(jnp.int32),
+            jnp.asarray(n_steps, jnp.int32).reshape(1)]
     in_specs += [vmem(), vmem(), vmem(), vmem(), hbm()]     # V Vbb cc gate U
     args += [V, Vbb, cc, gate, U.astype(jnp.float32)]
     if mask is not None:
@@ -304,7 +347,7 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
 
     out = pl.pallas_call(
         _hals_rows_kernel(n_iter, B, Kp, TD, relu, mask is not None,
-                          flags is not None, fast_dots),
+                          dots),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),

@@ -152,7 +152,7 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                         mxu: Optional[bool] = None,
                         chain: int = 1, deconv_every: int = 1,
                         colored: bool = False, mask_dilate: int = 2,
-                        fast_dots: bool = False):
+                        dots: str = "highest", color_block: int = 64):
     """Build the jitted HALS iteration ``iterate(proj_out, state) -> state``
     (``proj_out`` from :func:`make_bg_projection`).
 
@@ -202,7 +202,7 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
             x, NamedSharding(mesh, spec))
 
     def one_iteration(Ysig, st: StepState, do_deconv=True,
-                      mask=None, sflags=None) -> StepState:
+                      mask=None, sched=None) -> StepState:
         Ysig = constraint(Ysig, P("frame", "patch", None))
         A = constraint(st.A, P(None, "patch", None))
         C = constraint(st.C, P(None, "frame"))
@@ -233,11 +233,10 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
 
         U = jnp.einsum("kt,td->kd", to_gram(Cc), Pg,
                        preferred_element_type=jnp.float32)
-        Ar_new = hals_spatial_sweeps_rows(U, V, Ar, mask=mask,
-                                          n_iter=n_hals,
-                                          use_pallas=sweeps_pallas,
-                                          flags=sflags,
-                                          fast_dots=fast_dots)
+        Ar_new = hals_spatial_sweeps_rows(
+            U, V, Ar, mask=mask, n_iter=n_hals,
+            use_pallas=sweeps_pallas, schedule=sched,
+            block=color_block if sched is not None else 16, dots=dots)
         A_new = Ar_new.reshape(K, H, W)
         A_new = constraint(A_new, P(None, "patch", None))
         Ar_new = A_new.reshape(K, d)
@@ -246,17 +245,14 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         Vt = Ar_new @ Ar_new.T                               # (K, K)
         Ut = jnp.einsum("kd,td->kt", to_gram(Ar_new), Pg,
                         preferred_element_type=jnp.float32)
-        if sflags is not None:
-            # footprints stay inside their (disjoint-or-not) masks, so
-            # the mask flags certify the temporal Gram's zero structure
-            # too; recompute from Vt anyway — exact and nearly free
-            from cnmf_e_tpu.ops.coloring import block_free_flags
-            tflags = block_free_flags(Vt, block=16)
-        else:
-            tflags = None
-        C_raw = hals_temporal_sweeps(Ut, Vt, C, n_iter=n_hals,
-                                     use_pallas=sweeps_pallas,
-                                     flags=tflags, fast_dots=fast_dots)
+        # footprints stay inside their (disjoint-or-not) masks, so the
+        # mask-overlap schedule certifies the temporal Gram's zero
+        # structure too — same-color rows have disjoint masks, hence
+        # exactly-zero Vt couplings; one schedule serves both factors
+        C_raw = hals_temporal_sweeps(
+            Ut, Vt, C, n_iter=n_hals, use_pallas=sweeps_pallas,
+            schedule=sched,
+            block=color_block if sched is not None else 16, dots=dots)
 
         # baseline: mean of sub-median samples (HALS_temporal.m:79);
         # bisection median — jnp.median's sort costs as much as the Grams
@@ -285,10 +281,10 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
                          g=st.g, b0=st.b0, ring_w=st.ring_w,
                          ring_w0=st.ring_w0)
 
-    def run_chain(Ysig, st: StepState, mask=None, sflags=None
+    def run_chain(Ysig, st: StepState, mask=None, sched=None
                   ) -> StepState:
         it = lambda s, dd: one_iteration(Ysig, s, do_deconv=dd,
-                                         mask=mask, sflags=sflags)
+                                         mask=mask, sched=sched)
         if chain == 1:
             return it(st, True)
         if deconv_every <= 1:
@@ -306,20 +302,24 @@ def make_hals_iteration(mesh: Optional[Mesh], H: int, W: int, T: int,
         if not colored:
             return run_chain(Ysig, st)
 
-        from cnmf_e_tpu.ops.coloring import (block_free_flags, color_order,
+        from cnmf_e_tpu.ops.coloring import (class_step_schedule,
+                                             greedy_color,
                                              overlap_adjacency)
         from cnmf_e_tpu.ops.morphology import search_locations_dilate
         K = st.A.shape[0]
         M = search_locations_dilate(st.A, radius=mask_dilate)
         Mr = M.reshape(K, d)
-        order, inverse = color_order(overlap_adjacency(Mr))
+        colors = greedy_color(overlap_adjacency(Mr))
+        order = jnp.argsort(colors, stable=True)
+        inverse = jnp.argsort(order)
         Mp = Mr[order]
-        Mf = Mp.astype(jnp.float32)
-        sflags = block_free_flags(Mf @ Mf.T, block=16)
+        # class-aligned step schedule: one M = color_block vectorized
+        # matmul step per block of each color class (round-5 lever)
+        sched = class_step_schedule(colors[order], block=color_block)
         perm = st._replace(A=st.A[order], C=st.C[order],
                            C_raw=st.C_raw[order], S=st.S[order],
                            g=st.g[order])
-        out = run_chain(Ysig, perm, mask=Mp, sflags=sflags)
+        out = run_chain(Ysig, perm, mask=Mp, sched=sched)
         return out._replace(A=out.A[inverse], C=out.C[inverse],
                             C_raw=out.C_raw[inverse], S=out.S[inverse],
                             g=st.g)
@@ -337,7 +337,7 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                      gram_dtype: Optional[str] = None,
                      chain: int = 1, deconv_every: int = 1,
                      colored: bool = False, mask_dilate: int = 2,
-                     fast_dots: bool = False):
+                     dots: str = "highest", color_block: int = 64):
     """Build the fused jitted update step ``step(Y, state) -> state``:
     one background refresh (projection) + ``chain`` HALS iterations
     against the frozen background, all in ONE program — one ~29 ms tunnel
@@ -353,7 +353,7 @@ def make_update_step(mesh: Optional[Mesh], H: int, W: int, T: int,
                                   deconv_every=deconv_every,
                                   colored=colored,
                                   mask_dilate=mask_dilate,
-                                  fast_dots=fast_dots)
+                                  dots=dots, color_block=color_block)
 
     def step(Y: jnp.ndarray, st: StepState) -> StepState:
         return iterate(proj(Y, st), st)
