@@ -25,7 +25,9 @@ def main():
     T = 20_000 if small else 100_000
     radius = 9
     fpb = 1000
-    sub = max(1, int(round(fpb * H * W * 4 / (512 << 20))))
+    # must match models/streaming.py's sub_blocks sizing exactly, or the
+    # precompiled shapes miss the cache
+    sub = max(1, -(-fpb * H * W * 4 // (256 << 20)))
     chunk_T = -(-fpb // sub)
     d = H * W
 
