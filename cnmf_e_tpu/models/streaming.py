@@ -385,26 +385,86 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                     spmd=spmd))
             U = jnp.concatenate(U_parts, axis=1)             # (K, T)
         del U_parts
-        C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
         from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
-        C_raw = hals_temporal_sweeps(U, V, C0,
-                                     n_iter=params.temporal.n_iter,
-                                     active=state.active,
-                                     use_pallas=False if spmd else None)
-        # release the solver inputs before the baseline/deconv peak —
-        # U + C0 are another 1.8 GB of full-T buffers at config 5 (the
-        # async runtime frees them once the sweep program retires)
-        del U, C0
+        # frame-chunked sweeps: columns are independent given V, so
+        # solving T-chunks is EXACT and bounds the live solver buffers
+        # (U/C0/C_raw + the fori carry double-buffer are each (K, T) —
+        # ~5 GB of full-T f32 at config 5, part of the r5 solve-stage
+        # HBM OOM)
+        up = False if spmd else None
+        Tc = 25_000
+        if T > Tc:
+            cparts = []
+            for t0b in range(0, T, Tc):
+                sl = slice(t0b, min(t0b + Tc, T))
+                Ub = U[:, sl]
+                C0b = jnp.maximum(
+                    Ub / jnp.maximum(aa, 1e-12)[:, None], 0.0)
+                cparts.append(hals_temporal_sweeps(
+                    Ub, V, C0b, n_iter=params.temporal.n_iter,
+                    active=state.active, use_pallas=up))
+            del U
+            C_raw = jnp.concatenate(cparts, axis=1)
+            del cparts
+        else:
+            C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
+            C_raw = hals_temporal_sweeps(U, V, C0,
+                                         n_iter=params.temporal.n_iter,
+                                         active=state.active,
+                                         use_pallas=up)
+            del U, C0
+        # neuron-batched baseline + deconvolution: the windowed OASIS at
+        # the full population carries several (K, T) live buffers —
+        # ~6 GB at (2304, 100k), the dominant term of the r5 solve-stage
+        # OOM. Rows are independent, so batching is exact; the scalar
+        # fetch drains the async queue (block_until_ready is a no-op on
+        # axon) so each batch's buffers free before the next dispatches.
         from cnmf_e_tpu.ops.stats import submedian_mean
-        C_raw = C_raw - submedian_mean(C_raw, axis=-1)[:, None]
-        res = deconvolve(C_raw, params.temporal.deconv)
         act = state.active[:, None]
+        if T > Tc:
+            # near-equal batches (one program shape; 2304 -> 4 x 576)
+            Kb0 = max(64, int((256 << 20) // max(T * 4, 1)) // 64 * 64)
+            Kb = -(-K_cap // max(-(-K_cap // Kb0), 1))
+        else:
+            Kb = K_cap
+        C_list, Cr_list, S_list = [], [], []
+        for k0 in range(0, K_cap, Kb):
+            Cb = C_raw[k0:k0 + Kb]
+            Cb = Cb - submedian_mean(Cb, axis=-1)[:, None]
+            res = deconvolve(Cb, params.temporal.deconv)
+            ab = act[k0:k0 + Kb]
+            C_list.append(jnp.where(ab, res.c, 0.0))
+            Cr_list.append(jnp.where(ab, Cb - res.b[:, None], 0.0))
+            S_list.append(jnp.where(ab, res.s, 0.0))
+            if K_cap > Kb:
+                float(jnp.sum(C_list[-1][:1, :4]))
+        del C_raw
         state = state.replace(
-            C=jnp.where(act, res.c, 0.0),
-            C_raw=jnp.where(act, C_raw - res.b[:, None], 0.0),
-            S=jnp.where(act, res.s, 0.0))
+            C=jnp.concatenate(C_list, axis=0),
+            C_raw=jnp.concatenate(Cr_list, axis=0),
+            S=jnp.concatenate(S_list, axis=0))
+        del C_list, Cr_list, S_list
         log(lambda state=state:
             f"iter {it}: traces ({int(state.n_active())} neurons)")
+        if snapshot_path is not None:
+            # mid-iteration artifact: the temporal pass is the longest
+            # transfer-bound stage, and its (deconvolved) traces are the
+            # scoreable product — snapshot them before the ring/spatial
+            # stages so a wall-clock-bounded run still yields traces.
+            # A is unchanged by the temporal stage: reuse the previous
+            # snapshot's host copy instead of a multi-GB device fetch
+            import os as _os
+            A_prev = (np.load(snapshot_path)["A"]
+                      if _os.path.exists(snapshot_path)
+                      else np.asarray(state.A, np.float16))
+            np.savez(snapshot_path, stage=f"iter{it}_traces",
+                     A=A_prev,
+                     active=np.asarray(state.active),
+                     g=np.asarray(state.g, np.float32),
+                     neuron_sn=np.asarray(state.neuron_sn, np.float32),
+                     C=np.asarray(state.C, np.float16),
+                     C_raw=np.asarray(state.C_raw, np.float16))
+            log(f"iter {it}: traces snapshot -> {snapshot_path}")
 
         # ---- ring background fit (streamed Bf blocks) -------------------
         Cmean = jnp.mean(state.C, axis=-1)
@@ -452,17 +512,45 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # compiler; reusing the shared kernel removed both the crash and
         # the duplicate compile.
         from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
-        V = C @ C.T
+        V = jnp.einsum("kt,lt->kl", C, C)
         Ad = A.reshape(K_cap, -1).T
-        Ad = hals_spatial_sweeps(U, V, Ad, n_iter=params.spatial.n_iter,
-                                 use_pallas=False if spmd else None)
+        # pixel-chunked sweeps: rows (pixels) are independent given V —
+        # chunking is EXACT and bounds the solver's live (d, K) buffers
+        # (~3 x 2.4 GB at config 5 next to the accumulated U and the
+        # full-T traces; same HBM discipline as the temporal solve)
+        up = False if spmd else None
+        dtot = H * W
+        Dc = 1 << 16
+        if dtot > 2 * Dc:
+            a_parts = []
+            for d0 in range(0, dtot, Dc):
+                sl = slice(d0, min(d0 + Dc, dtot))
+                a_parts.append(hals_spatial_sweeps(
+                    U[sl], V, Ad[sl], n_iter=params.spatial.n_iter,
+                    use_pallas=up))
+                float(jnp.sum(a_parts[-1][:1, :4]))
+            del U
+            Ad = jnp.concatenate(a_parts, axis=0)
+            del a_parts
+        else:
+            Ad = hals_spatial_sweeps(U, V, Ad,
+                                     n_iter=params.spatial.n_iter,
+                                     use_pallas=up)
         state = state.replace(
             A=Ad.T.reshape(K_cap, H, W) * state.active[:, None, None])
         log(f"iter {it}: spatial")
 
         state = remove_false_positives(state, params)
-        state, nm = merge_neurons(state, params, "dist_corr")
-        state, nm2 = merge_neurons(state, params, "dist_only")
+        # deconv=False: the post-merge re-deconvolution is a FULL
+        # (K_max, T) OASIS pass — ~6 GB of live trace buffers at config
+        # 5 (the r5 solve-stage OOM class). Non-final iterations are
+        # re-deconvolved by the next temporal pass anyway (the same
+        # deferral the in-memory pipeline uses); on the final iteration
+        # the few merged clusters keep their rank-1-refit traces
+        state, nm = merge_neurons(state, params, "dist_corr",
+                                  deconv=False)
+        state, nm2 = merge_neurons(state, params, "dist_only",
+                                   deconv=False)
         log(lambda nm=nm, nm2=nm2, state=state:
             f"iter {it}: QC + merges ({int(nm)}+{int(nm2)}), "
             f"{int(state.n_active())} neurons")
