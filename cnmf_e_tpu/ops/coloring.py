@@ -129,8 +129,15 @@ def class_step_schedule(colors: jnp.ndarray, block: int,
     cend = cstart + counts
     r = jnp.arange(K)
     cs = colors  # rows already sorted by color: colors[r] nondecreasing
-    # a row opens a new step iff its offset within its class is 0 mod B
-    opens = ((r - cstart[cs]) % block) == 0
+    # a row opens a new step at the class start, then every `block` rows
+    # on the grid anchored at the 8-ALIGNED class start: the kernel
+    # slices [align8(start), align8(start) + block) (Mosaic requires
+    # multi-sublane slice starts provably 0 mod 8) and gates the update
+    # to [start, end) — anchoring at align8(cstart) keeps consecutive
+    # steps' gated row ranges contiguous
+    cs8 = (cstart // 8) * 8
+    opens = (r == cstart[cs]) | ((r > cstart[cs])
+                                 & ((r - cs8[cs]) % block == 0))
     step_of_open = jnp.cumsum(opens) - 1
     n_steps = jnp.sum(opens).astype(jnp.int32)
 

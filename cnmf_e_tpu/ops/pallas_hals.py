@@ -146,10 +146,14 @@ def _hals_rows_kernel(n_iter: int, B: int, Kp: int, TD: int, relu: bool,
             s = st_ref[j]
             e = en_ref[j]
             fr = fr_ref[j]
-            # clamp the slice so sc + B <= Kp; rows below `s` (previous
-            # classes, already at their fixed point) are excluded by the
-            # positional gate, never re-updated
-            sc = jnp.minimum(s, Kp - B)
+            # slice start: align down to a multiple of 8 (Mosaic demands
+            # multi-sublane slice starts provably 0 mod 8 — the schedule
+            # anchors step grids accordingly) and clamp so sc + B <= Kp;
+            # rows below `s` (previous classes, already at their fixed
+            # point) are excluded by the positional gate, never
+            # re-updated
+            sc = pl.multiple_of(
+                jnp.minimum((s // 8) * 8, Kp - B), 8)
             Vb = V_ref[pl.ds(sc, B), :]                     # (B, Kp)
             Ub = Us[pl.ds(sc, B), :]                        # (B, TD)
             X0 = Xs[pl.ds(sc, B), :]                        # snapshot
@@ -277,7 +281,9 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
         X = jnp.where(mb, X, 0.0)
         U = jnp.where(mb, U.astype(jnp.float32), -1e30)
         mask = None
-    B = max(1, min(block, K))
+    # B must be a multiple of 8: slice starts are proven 0 mod 8 and
+    # Kp - B must stay on that grid
+    B = max(8, -(-min(block, max(K, 1)) // 8) * 8)
     Kp = -(-K // B) * B
     if Kp != K:
         U = jnp.pad(U, ((0, Kp - K), (0, 0)))
@@ -317,7 +323,7 @@ def hals_sweeps_rows_pallas(U: jnp.ndarray, V: jnp.ndarray, X: jnp.ndarray,
 
     # stacked diagonal blocks at the CLAMPED step starts:
     # Vbb[j*B+i, :] = V[sc_j+i, sc_j:sc_j+B]
-    sc_arr = jnp.clip(jnp.minimum(starts, Kp - B), 0, Kp - B)
+    sc_arr = jnp.clip(jnp.minimum((starts // 8) * 8, Kp - B), 0, Kp - B)
     Vbb = jax.vmap(
         lambda s: jax.lax.dynamic_slice(V, (s, s), (B, B)))(sc_arr)
     Vbb = Vbb.reshape(n_cap * B, B)
