@@ -37,8 +37,15 @@ from cnmf_e_tpu.ops.ring import (apply_ring, fit_ring_weights,
                                  ring_offsets)
 
 
-def _ring_subtract(Yb, A, C_b, b0, weights, radius, H, W, spmd=False):
-    X = Yb - b0[None] - jnp.einsum("khw,kt->thw", A, C_b)
+def _ring_subtract(Yb, A_dk, C_b, b0, weights, radius, H, W, spmd=False):
+    """``A_dk``: footprints in (d, K) layout — the reconstruction
+    contraction then has native contracting dims. The former (K, H, W)
+    einsum re-laid A out per BLOCK PROGRAM (a 2.4 GB transient at
+    config-5 scale, every chunk), which drove the spatial-pass HBM OOM;
+    the caller materializes the (d, K) copy once per pass instead."""
+    T_b = Yb.shape[0]
+    recon = jnp.einsum("dk,kt->td", A_dk, C_b).reshape(T_b, H, W)
+    X = Yb - b0[None] - recon
     if spmd:
         # mesh path: the XLA weighted-shift stencil partitions over the
         # 'patch' axis with automatic ICI halo exchange (pallas_call does
@@ -130,7 +137,7 @@ def _prefetch_device_blocks(store: MovieStore, slicer=None,
 
 
 @jax.jit
-def _block_temporal_U_raw(Yb, Ad):
+def _block_temporal_U_raw(Yb, A_dk):
     """First-pass per-block accumulators: raw projection rows A^T Y_b and
     the block pixel-sum. The mean-subtracted projection is separable —
     U[:, t] = A^T (Y_t - Ymean) = (A^T Y_t) - A^T Ymean — so the global
@@ -144,21 +151,22 @@ def _block_temporal_U_raw(Yb, Ad):
     first pass OOMed the 16 GB chip with the ``@ .T`` form."""
     Yb = Yb.astype(jnp.float32)
     Yf = Yb.reshape(Yb.shape[0], -1)                 # (t, d)
-    return (jnp.einsum("kd,td->kt", Ad, Yf),
+    return (jnp.einsum("dk,td->kt", A_dk, Yf),
             jnp.sum(Yb, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W", "spmd"))
-def _block_temporal_U_ring(Yb, Ad, A, C_blk, b0, weights, radius, H, W,
+def _block_temporal_U_ring(Yb, A_dk, C_blk, b0, weights, radius, H, W,
                            spmd=False):
     Yb = Yb.astype(jnp.float32)
-    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W, spmd)
-    return jnp.einsum("kd,td->kt", Ad,
+    Ysig = _ring_subtract(Yb, A_dk, C_blk, b0, weights, radius, H, W,
+                          spmd)
+    return jnp.einsum("dk,td->kt", A_dk,
                       Ysig.reshape(Yb.shape[0], -1))
 
 
 @jax.jit
-def _block_Bf(Yb_s, A, Cc_s, Ymean, j0):
+def _block_Bf(Yb_s, A_dk, Cc_s, Ymean, j0):
     """Ring-fit residual rows for an already host-strided frame subset
     (the fit needs only ~frame_cap_factor x R frames; the host reads just
     those rows from the block memmap instead of uploading whole blocks).
@@ -166,16 +174,19 @@ def _block_Bf(Yb_s, A, Cc_s, Ymean, j0):
     ``j0`` is this block's first column in it (a traced scalar, so every
     full-size block shares one compiled program)."""
     Yb_s = Yb_s.astype(jnp.float32)
+    nb, H, W = Yb_s.shape
     Cc_blk = jax.lax.dynamic_slice(
         Cc_s, (0, j0), (Cc_s.shape[0], Yb_s.shape[0]))
-    return Yb_s - Ymean[None] - jnp.einsum("khw,kt->thw", A, Cc_blk)
+    recon = jnp.einsum("dk,kt->td", A_dk, Cc_blk).reshape(nb, H, W)
+    return Yb_s - Ymean[None] - recon
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W", "spmd"))
-def _block_spatial_U(U, Yb, A, C_blk, b0, weights, radius, H, W,
+def _block_spatial_U(U, Yb, A_dk, C_blk, b0, weights, radius, H, W,
                      spmd=False):
     Yb = Yb.astype(jnp.float32)
-    Ysig = _ring_subtract(Yb, A, C_blk, b0, weights, radius, H, W, spmd)
+    Ysig = _ring_subtract(Yb, A_dk, C_blk, b0, weights, radius, H, W,
+                          spmd)
     return U + jnp.einsum("td,kt->dk", Ysig.reshape(Yb.shape[0], -1),
                           C_blk)
 
@@ -208,12 +219,10 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     radius = params.background.ring_radius
     spmd = mesh is not None
     if spmd:
-        from cnmf_e_tpu.parallel.mesh import (footprint_sharding,
-                                              movie_sharding)
+        from cnmf_e_tpu.parallel.mesh import movie_sharding
         mov_s = movie_sharding(mesh)
-        fp_s = footprint_sharding(mesh)
     else:
-        mov_s = fp_s = None
+        mov_s = None
     # callable messages are only evaluated when verbose — several embed
     # device scalars (merge counts, n_active) whose formatting forces a
     # host sync in the async dispatch pipeline
@@ -223,6 +232,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     # ---- init on a decimated proxy movie --------------------------------
     import os
     state = None
+    resume_mid = False
     if snapshot_path is not None and os.path.exists(snapshot_path):
         # resume: a prior (possibly interrupted) run's footprints — the
         # reference's restore-from-LOGS flow
@@ -243,8 +253,30 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             state = state.replace(
                 g=jnp.asarray(z["g"], jnp.float32),
                 neuron_sn=jnp.asarray(z["neuron_sn"], jnp.float32))
+        # mid-iteration resume: a traces snapshot carries the full-T
+        # deconvolved C, so the first iteration continues at the RING
+        # FIT instead of repaying the full-movie temporal pass
+        resume_mid = (str(z.get("stage", "")).endswith("_traces")
+                      and "C" in z.files and z["C"].shape[1] == T)
+        if resume_mid:
+            Cj = jnp.asarray(z["C"], jnp.float32)
+            # S was not snapshotted; reconstruct it as the inverse AR
+            # recurrence of the deconvolved C (exactly the deconvolver's
+            # spikes up to clipping) — zeros here would trip the QC
+            # no-spikes tag and deactivate every neuron
+            g_r = state.g
+            s_rec = Cj - g_r[:, :1] * jnp.pad(Cj[:, :-1],
+                                              ((0, 0), (1, 0)))
+            if p_ar == 2:
+                s_rec = s_rec - g_r[:, 1:2] * jnp.pad(
+                    Cj[:, :-2], ((0, 0), (2, 0)))
+            state = state.replace(
+                C=Cj,
+                C_raw=jnp.asarray(z["C_raw"], jnp.float32),
+                S=jnp.maximum(s_rec, 0.0))
         log(lambda state=state: f"resumed {int(state.n_active())} neurons "
-            f"from {snapshot_path} (stage {z.get('stage', '?')})")
+            f"from {snapshot_path} (stage {z.get('stage', '?')}"
+            f"{', mid-iteration' if resume_mid else ''})")
     if state is None:
         tsub = max(-(-T // init_budget_frames), 1)
         import dataclasses
@@ -305,12 +337,14 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     # traces expand to full T at the first temporal solve below; until
     # then carry T=1 placeholders — full-T zero buffers here would sit
     # dead through the peak-memory temporal stage (2.8 GB at config 5,
-    # part of the r4 HBM OOM)
+    # part of the r4 HBM OOM). A mid-iteration resume already carries
+    # full-T traces and skips straight to the ring fit.
     K_cap = state.K_max
-    state = state.replace(
-        C=jnp.zeros((K_cap, 1), jnp.float32),
-        C_raw=jnp.zeros((K_cap, 1), jnp.float32),
-        S=jnp.zeros((K_cap, 1), jnp.float32))
+    if not resume_mid:
+        state = state.replace(
+            C=jnp.zeros((K_cap, 1), jnp.float32),
+            C_raw=jnp.zeros((K_cap, 1), jnp.float32),
+            S=jnp.zeros((K_cap, 1), jnp.float32))
 
     fpb = store.frames_per_block
 
@@ -344,131 +378,162 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     Ymean = None
 
     for it in range(n_outer):
-        A = state.A
+        # ONE resident footprint copy for the whole iteration: the block
+        # programs consume the (d, K) layout (native contracting dims),
+        # so A is materialized as A_dk once and the (K, H, W) state slot
+        # holds a placeholder until the spatial update writes the new A
+        # (2.4 GB each at config 5 — carrying both plus per-program
+        # relayout transients drove the r5 spatial-pass HBM OOM)
+        A_dk = state.A.reshape(K_cap, -1).T
         if spmd:
-            A = jax.device_put(A, fp_s)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            A_dk = jax.device_put(
+                A_dk, NamedSharding(mesh, P("patch", None)))
+        state = state.replace(A=jnp.zeros((K_cap, 1, 1), jnp.float32))
 
-        # ---- temporal pass 1: Gram-accumulated HALS over blocks ---------
-        # U = A^T Ysig accumulates per block (K x T fits on device even at
-        # 100k frames); V = A^T A is frame-independent — so the full
-        # cross-term coordinate descent (HALS_temporal.m:58-107) runs
-        # EXACTLY as in-memory. A diagonal projection (A Ysig)/||a||^2
-        # would leave overlapping neurons' traces correlated and biased.
-        Ad = A.reshape(K_cap, -1)
-        # native contracting dims: `Ad @ Ad.T` lowers with an explicit
-        # transposed 2.4 GB copy of A at config-5 scale (part of the r5
-        # first-pass OOM); dot_general contracts d directly
-        V = jnp.einsum("kd,ld->kl", Ad, Ad)                  # (K, K)
-        aa = jnp.diag(V)   # NOT sum(Ad*Ad): that materializes a (K, d)
-        #                    temp — 2.4 GB at full scale
-        U_parts = []
-        if weights is None:
-            # first pass doubles as the mean-image accumulation (the
-            # mean-subtraction of U is a separable rank-1 correction)
-            acc = jnp.zeros((H, W), jnp.float32)
-            for t0, Yb in _prefetch_device_blocks(store,
-                                                  sub_blocks=sub_blocks,
-                                                  sharding=mov_s):
-                Ub, s = _block_temporal_U_raw(Yb, Ad)
-                U_parts.append(Ub)
-                acc = acc + s
-            Ymean = acc / T
-            U = (jnp.concatenate(U_parts, axis=1)
-                 - (Ad @ Ymean.reshape(-1))[:, None])        # (K, T)
-        else:
-            for t0, Yb in _prefetch_device_blocks(store,
-                                                  sub_blocks=sub_blocks,
-                                                  sharding=mov_s):
-                C_blk = state.C[:, t0:t0 + Yb.shape[0]]
-                U_parts.append(_block_temporal_U_ring(
-                    Yb, Ad, A, C_blk, state.b0, weights, radius, H, W,
-                    spmd=spmd))
-            U = jnp.concatenate(U_parts, axis=1)             # (K, T)
-        del U_parts
-        from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
-        # frame-chunked sweeps: columns are independent given V, so
-        # solving T-chunks is EXACT and bounds the live solver buffers
-        # (U/C0/C_raw + the fori carry double-buffer are each (K, T) —
-        # ~5 GB of full-T f32 at config 5, part of the r5 solve-stage
-        # HBM OOM)
-        up = False if spmd else None
-        Tc = 25_000
-        if T > Tc:
-            cparts = []
-            for t0b in range(0, T, Tc):
-                sl = slice(t0b, min(t0b + Tc, T))
-                Ub = U[:, sl]
-                C0b = jnp.maximum(
-                    Ub / jnp.maximum(aa, 1e-12)[:, None], 0.0)
-                cparts.append(hals_temporal_sweeps(
-                    Ub, V, C0b, n_iter=params.temporal.n_iter,
-                    active=state.active, use_pallas=up))
-            del U
-            C_raw = jnp.concatenate(cparts, axis=1)
-            del cparts
-        else:
-            C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
-            C_raw = hals_temporal_sweeps(U, V, C0,
-                                         n_iter=params.temporal.n_iter,
-                                         active=state.active,
-                                         use_pallas=up)
-            del U, C0
-        # neuron-batched baseline + deconvolution: the windowed OASIS at
-        # the full population carries several (K, T) live buffers —
-        # ~6 GB at (2304, 100k), the dominant term of the r5 solve-stage
-        # OOM. Rows are independent, so batching is exact; the scalar
-        # fetch drains the async queue (block_until_ready is a no-op on
-        # axon) so each batch's buffers free before the next dispatches.
-        from cnmf_e_tpu.ops.stats import submedian_mean
-        act = state.active[:, None]
-        if T > Tc:
-            # near-equal batches (one program shape; 2304 -> 4 x 576)
-            Kb0 = max(64, int((256 << 20) // max(T * 4, 1)) // 64 * 64)
-            Kb = -(-K_cap // max(-(-K_cap // Kb0), 1))
-        else:
-            Kb = K_cap
-        C_list, Cr_list, S_list = [], [], []
-        for k0 in range(0, K_cap, Kb):
-            Cb = C_raw[k0:k0 + Kb]
-            Cb = Cb - submedian_mean(Cb, axis=-1)[:, None]
-            res = deconvolve(Cb, params.temporal.deconv)
-            ab = act[k0:k0 + Kb]
-            C_list.append(jnp.where(ab, res.c, 0.0))
-            Cr_list.append(jnp.where(ab, Cb - res.b[:, None], 0.0))
-            S_list.append(jnp.where(ab, res.s, 0.0))
-            if K_cap > Kb:
-                float(jnp.sum(C_list[-1][:1, :4]))
-        del C_raw
-        state = state.replace(
-            C=jnp.concatenate(C_list, axis=0),
-            C_raw=jnp.concatenate(Cr_list, axis=0),
-            S=jnp.concatenate(S_list, axis=0))
-        del C_list, Cr_list, S_list
-        log(lambda state=state:
-            f"iter {it}: traces ({int(state.n_active())} neurons)")
-        if snapshot_path is not None:
-            # mid-iteration artifact: the temporal pass is the longest
-            # transfer-bound stage, and its (deconvolved) traces are the
-            # scoreable product — snapshot them before the ring/spatial
-            # stages so a wall-clock-bounded run still yields traces.
-            # A is unchanged by the temporal stage: reuse the previous
-            # snapshot's host copy instead of a multi-GB device fetch
-            import os as _os
-            A_prev = (np.load(snapshot_path)["A"]
-                      if _os.path.exists(snapshot_path)
-                      else np.asarray(state.A, np.float16))
-            np.savez(snapshot_path, stage=f"iter{it}_traces",
-                     A=A_prev,
-                     active=np.asarray(state.active),
-                     g=np.asarray(state.g, np.float32),
-                     neuron_sn=np.asarray(state.neuron_sn, np.float32),
-                     C=np.asarray(state.C, np.float16),
-                     C_raw=np.asarray(state.C_raw, np.float16))
-            log(f"iter {it}: traces snapshot -> {snapshot_path}")
+        skip_temporal = resume_mid and it == 0
+        if skip_temporal:
+            # resumed from a mid-iteration traces snapshot: C is loaded,
+            # so continue at the ring fit. Ymean (lost with the dead
+            # process) is re-estimated host-side from the ring-fit
+            # stride grid (~1/stride of the frames; SE ~ std/sqrt(n) per
+            # pixel — negligible against the b0 scale)
+            R0 = ring_offsets(radius).shape[0]
+            nmax0 = params.background.frame_cap_factor * R0
+            stride0 = max(int(np.ceil(T / nmax0)), 1)
+            acc_h = np.zeros((H, W), np.float64)
+            n_h = 0
+            for bi in range(store.n_blocks()):
+                blk = store.read_block(bi)
+                off = (-(bi * fpb)) % stride0
+                sub = np.asarray(blk[off::stride0], np.float32)
+                acc_h += sub.sum(axis=0)
+                n_h += sub.shape[0]
+            Ymean = jnp.asarray((acc_h / max(n_h, 1)).astype(np.float32))
+            del acc_h
+            log(f"iter {it}: resumed at ring fit "
+                f"(strided Ymean over {n_h} frames)")
+        if not skip_temporal:
+            # ---- temporal pass: Gram-accumulated HALS over blocks -------
+            # U = A^T Ysig accumulates per block (K x T fits on device
+            # even at 100k frames); V = A^T A is frame-independent — so
+            # the full cross-term coordinate descent
+            # (HALS_temporal.m:58-107) runs EXACTLY as in-memory. A
+            # diagonal projection (A Ysig)/||a||^2 would leave
+            # overlapping neurons' traces correlated and biased.
+            V = jnp.einsum("dk,dl->kl", A_dk, A_dk)          # (K, K)
+            aa = jnp.diag(V)   # NOT sum(A*A): that materializes a (K, d)
+            #                    temp — 2.4 GB at full scale
+            U_parts = []
+            if weights is None:
+                # first pass doubles as the mean-image accumulation (the
+                # mean-subtraction of U is a separable rank-1 correction)
+                acc = jnp.zeros((H, W), jnp.float32)
+                for t0, Yb in _prefetch_device_blocks(store,
+                                                      sub_blocks=sub_blocks,
+                                                      sharding=mov_s):
+                    Ub, s = _block_temporal_U_raw(Yb, A_dk)
+                    U_parts.append(Ub)
+                    acc = acc + s
+                Ymean = acc / T
+                U = (jnp.concatenate(U_parts, axis=1)
+                     - jnp.einsum("dk,d->k", A_dk,
+                                  Ymean.reshape(-1))[:, None])  # (K, T)
+            else:
+                for t0, Yb in _prefetch_device_blocks(store,
+                                                      sub_blocks=sub_blocks,
+                                                      sharding=mov_s):
+                    C_blk = state.C[:, t0:t0 + Yb.shape[0]]
+                    U_parts.append(_block_temporal_U_ring(
+                        Yb, A_dk, C_blk, state.b0, weights, radius, H, W,
+                        spmd=spmd))
+                U = jnp.concatenate(U_parts, axis=1)         # (K, T)
+            del U_parts
+            from cnmf_e_tpu.ops.hals import hals_temporal_sweeps
+            # frame-chunked sweeps: columns are independent given V, so
+            # solving T-chunks is EXACT and bounds the live solver buffers
+            # (U/C0/C_raw + the fori carry double-buffer are each (K, T) —
+            # ~5 GB of full-T f32 at config 5, part of the r5 solve-stage
+            # HBM OOM)
+            up = False if spmd else None
+            Tc = 25_000
+            if T > Tc:
+                cparts = []
+                for t0b in range(0, T, Tc):
+                    sl = slice(t0b, min(t0b + Tc, T))
+                    Ub = U[:, sl]
+                    C0b = jnp.maximum(
+                        Ub / jnp.maximum(aa, 1e-12)[:, None], 0.0)
+                    cparts.append(hals_temporal_sweeps(
+                        Ub, V, C0b, n_iter=params.temporal.n_iter,
+                        active=state.active, use_pallas=up))
+                del U
+                C_raw = jnp.concatenate(cparts, axis=1)
+                del cparts
+            else:
+                C0 = jnp.maximum(U / jnp.maximum(aa, 1e-12)[:, None], 0.0)
+                C_raw = hals_temporal_sweeps(U, V, C0,
+                                             n_iter=params.temporal.n_iter,
+                                             active=state.active,
+                                             use_pallas=up)
+                del U, C0
+            # neuron-batched baseline + deconvolution: the windowed OASIS at
+            # the full population carries several (K, T) live buffers —
+            # ~6 GB at (2304, 100k), the dominant term of the r5 solve-stage
+            # OOM. Rows are independent, so batching is exact; the scalar
+            # fetch drains the async queue (block_until_ready is a no-op on
+            # axon) so each batch's buffers free before the next dispatches.
+            from cnmf_e_tpu.ops.stats import submedian_mean
+            act = state.active[:, None]
+            if T > Tc:
+                # near-equal batches (one program shape; 2304 -> 4 x 576)
+                Kb0 = max(64, int((256 << 20) // max(T * 4, 1)) // 64 * 64)
+                Kb = -(-K_cap // max(-(-K_cap // Kb0), 1))
+            else:
+                Kb = K_cap
+            C_list, Cr_list, S_list = [], [], []
+            for k0 in range(0, K_cap, Kb):
+                Cb = C_raw[k0:k0 + Kb]
+                Cb = Cb - submedian_mean(Cb, axis=-1)[:, None]
+                res = deconvolve(Cb, params.temporal.deconv)
+                ab = act[k0:k0 + Kb]
+                C_list.append(jnp.where(ab, res.c, 0.0))
+                Cr_list.append(jnp.where(ab, Cb - res.b[:, None], 0.0))
+                S_list.append(jnp.where(ab, res.s, 0.0))
+                if K_cap > Kb:
+                    float(jnp.sum(C_list[-1][:1, :4]))
+            del C_raw
+            state = state.replace(
+                C=jnp.concatenate(C_list, axis=0),
+                C_raw=jnp.concatenate(Cr_list, axis=0),
+                S=jnp.concatenate(S_list, axis=0))
+            del C_list, Cr_list, S_list
+            log(lambda state=state:
+                f"iter {it}: traces ({int(state.n_active())} neurons)")
+            if snapshot_path is not None:
+                # mid-iteration artifact: the temporal pass is the longest
+                # transfer-bound stage, and its (deconvolved) traces are the
+                # scoreable product — snapshot them before the ring/spatial
+                # stages so a wall-clock-bounded run still yields traces.
+                # A is unchanged by the temporal stage: reuse the previous
+                # snapshot's host copy instead of a multi-GB device fetch
+                import os as _os
+                A_prev = (np.load(snapshot_path)["A"]
+                          if _os.path.exists(snapshot_path)
+                          else np.asarray(state.A, np.float16))
+                np.savez(snapshot_path, stage=f"iter{it}_traces",
+                         A=A_prev,
+                         active=np.asarray(state.active),
+                         g=np.asarray(state.g, np.float32),
+                         neuron_sn=np.asarray(state.neuron_sn, np.float32),
+                         C=np.asarray(state.C, np.float16),
+                         C_raw=np.asarray(state.C_raw, np.float16))
+                log(f"iter {it}: traces snapshot -> {snapshot_path}")
 
         # ---- ring background fit (streamed Bf blocks) -------------------
         Cmean = jnp.mean(state.C, axis=-1)
-        b0 = Ymean - jnp.einsum("khw,k->hw", A, Cmean)
+        b0 = Ymean - jnp.einsum("dk,k->d", A_dk,
+                                Cmean).reshape(H, W)
         state = state.replace(b0=b0)
         R = ring_offsets(radius).shape[0]
         nmax = params.background.frame_cap_factor * R
@@ -487,7 +552,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         for t0, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer,
                                                 sharding=mov_s):
             j0 = -(-t0 // stride)            # first global grid col here
-            Bf_rows.append(_block_Bf(Yb_s, A, Cc_s, Ymean, j0))
+            Bf_rows.append(_block_Bf(Yb_s, A_dk, Cc_s, Ymean, j0))
         Bf_fit = jnp.concatenate(Bf_rows, axis=0)
         weights = fit_ring_weights(Bf_fit, H, W, radius,
                                    ridge_eps=params.background.ridge_eps)
@@ -502,7 +567,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                                               sub_blocks=sub_blocks,
                                               sharding=mov_s):
             C_blk = C[:, t0:t0 + Yb.shape[0]]
-            U = _block_spatial_U(U, Yb, A, C_blk, state.b0, weights,
+            U = _block_spatial_U(U, Yb, A_dk, C_blk, state.b0, weights,
                                  radius, H, W, spmd=spmd)
         # HALS sweeps on the accumulated Grams — the same blocked
         # Gauss-Seidel program every in-memory spatial update runs
@@ -513,7 +578,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
         # the duplicate compile.
         from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
         V = jnp.einsum("kt,lt->kl", C, C)
-        Ad = A.reshape(K_cap, -1).T
+        Ad = A_dk
         # pixel-chunked sweeps: rows (pixels) are independent given V —
         # chunking is EXACT and bounds the solver's live (d, K) buffers
         # (~3 x 2.4 GB at config 5 next to the accumulated U and the

@@ -50,12 +50,12 @@ def main():
         ("block_spatial_U",
          lambda: _block_spatial_U.lower(
              S((d, K_cap), f32), S((chunk_T, H, W), jnp.float16),
-             S((K_cap, H, W), f32), S((K_cap, chunk_T), f32),
+             S((d, K_cap), f32), S((K_cap, chunk_T), f32),
              S((H, W), f32), Wt, radius, H, W)),
         ("block_temporal_U_ring",
          lambda: _block_temporal_U_ring.lower(
-             S((chunk_T, H, W), jnp.float16), S((K_cap, d), f32),
-             S((K_cap, H, W), f32), S((K_cap, chunk_T), f32),
+             S((chunk_T, H, W), jnp.float16), S((d, K_cap), f32),
+             S((K_cap, chunk_T), f32),
              S((H, W), f32), Wt, radius, H, W)),
         ("fit_ring_weights",
          lambda: fit_ring_weights.lower(
@@ -66,7 +66,7 @@ def main():
         jobs.append((f"block_Bf_rows{rows}",
                      lambda rows=rows: _block_Bf.lower(
                          S((rows, H, W), jnp.float16),
-                         S((K_cap, H, W), f32),
+                         S((d, K_cap), f32),
                          S((K_cap, n_grid), f32), S((H, W), f32), i32w)))
     for name, make in jobs:
         t0 = time.perf_counter()
