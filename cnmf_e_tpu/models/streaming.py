@@ -233,6 +233,7 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     import os
     state = None
     resume_mid = False
+    resume_post_spatial = False
     if snapshot_path is not None and os.path.exists(snapshot_path):
         # resume: a prior (possibly interrupted) run's footprints — the
         # reference's restore-from-LOGS flow
@@ -255,9 +256,23 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                 neuron_sn=jnp.asarray(z["neuron_sn"], jnp.float32))
         # mid-iteration resume: a traces snapshot carries the full-T
         # deconvolved C, so the first iteration continues at the RING
-        # FIT instead of repaying the full-movie temporal pass
-        resume_mid = (str(z.get("stage", "")).endswith("_traces")
-                      and "C" in z.files and z["C"].shape[1] == T)
+        # FIT instead of repaying the full-movie temporal pass; a
+        # post-spatial snapshot additionally carries the new A + ring
+        # weights and continues at the QC/merge stage
+        stage_str = str(z.get("stage", ""))
+        resume_post_spatial = (stage_str.endswith("_spatial")
+                               and "C" in z.files
+                               and z["C"].shape[1] == T)
+        resume_mid = resume_post_spatial or (
+            stage_str.endswith("_traces")
+            and "C" in z.files and z["C"].shape[1] == T)
+        if resume_post_spatial:
+            from cnmf_e_tpu.ops.ring import RingWeights as _RW
+            resume_weights = _RW(
+                w=jnp.asarray(z["ring_w"], jnp.float32),
+                w0=jnp.asarray(z["ring_w0"], jnp.float32))
+            resume_b0 = jnp.asarray(z["b0"], jnp.float32)
+            resume_Ymean = jnp.asarray(z["Ymean"], jnp.float32)
         if resume_mid:
             Cj = jnp.asarray(z["C"], jnp.float32)
             # S was not snapshotted; reconstruct it as the inverse AR
@@ -378,21 +393,33 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
     Ymean = None
 
     for it in range(n_outer):
-        # ONE resident footprint copy for the whole iteration: the block
-        # programs consume the (d, K) layout (native contracting dims),
-        # so A is materialized as A_dk once and the (K, H, W) state slot
-        # holds a placeholder until the spatial update writes the new A
-        # (2.4 GB each at config 5 — carrying both plus per-program
-        # relayout transients drove the r5 spatial-pass HBM OOM)
-        A_dk = state.A.reshape(K_cap, -1).T
-        if spmd:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            A_dk = jax.device_put(
-                A_dk, NamedSharding(mesh, P("patch", None)))
-        state = state.replace(A=jnp.zeros((K_cap, 1, 1), jnp.float32))
-
         skip_temporal = resume_mid and it == 0
-        if skip_temporal:
+        skip_ring_spatial = resume_post_spatial and it == 0
+        if not skip_ring_spatial:
+            # ONE resident footprint copy for the whole iteration: the
+            # block programs consume the (d, K) layout (native
+            # contracting dims), so A is materialized as A_dk once and
+            # the (K, H, W) state slot holds a placeholder until the
+            # spatial update writes the new A (2.4 GB each at config 5 —
+            # carrying both plus per-program relayout transients drove
+            # the r5 spatial-pass HBM OOM)
+            A_dk = state.A.reshape(K_cap, -1).T
+            if spmd:
+                from jax.sharding import NamedSharding, \
+                    PartitionSpec as P
+                A_dk = jax.device_put(
+                    A_dk, NamedSharding(mesh, P("patch", None)))
+            state = state.replace(
+                A=jnp.zeros((K_cap, 1, 1), jnp.float32))
+        else:
+            # post-spatial snapshot: A (new), C, ring weights, b0 and
+            # Ymean all restored — continue at the QC/merge stage
+            # (state.A already holds the snapshot's A)
+            state = state.replace(b0=resume_b0, W=resume_weights)
+            weights = resume_weights
+            Ymean = resume_Ymean
+            log(f"iter {it}: resumed at QC/merge")
+        if skip_temporal and not skip_ring_spatial:
             # resumed from a mid-iteration traces snapshot: C is loaded,
             # so continue at the ring fit. Ymean (lost with the dead
             # process) is re-estimated host-side from the ring-fit
@@ -530,82 +557,123 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                          C_raw=np.asarray(state.C_raw, np.float16))
                 log(f"iter {it}: traces snapshot -> {snapshot_path}")
 
-        # ---- ring background fit (streamed Bf blocks) -------------------
-        Cmean = jnp.mean(state.C, axis=-1)
-        b0 = Ymean - jnp.einsum("dk,k->d", A_dk,
-                                Cmean).reshape(H, W)
-        state = state.replace(b0=b0)
-        R = ring_offsets(radius).shape[0]
-        nmax = params.background.frame_cap_factor * R
-        stride = max(int(np.ceil(T / nmax)), 1)
-        # subsample frames across blocks for the weight fit: the host
-        # reads ONLY the stride-grid rows of each block (memmap row
-        # gather), so this pass uploads ~1/stride of the movie
-        Cc = state.C - Cmean[:, None]
-        Cc_s = Cc[:, ::stride]
+        if not skip_ring_spatial:
+            # ---- ring background fit (streamed Bf blocks) -------------------
+            Cmean = jnp.mean(state.C, axis=-1)
+            b0 = Ymean - jnp.einsum("dk,k->d", A_dk,
+                                    Cmean).reshape(H, W)
+            state = state.replace(b0=b0)
+            R = ring_offsets(radius).shape[0]
+            nmax = params.background.frame_cap_factor * R
+            stride = max(int(np.ceil(T / nmax)), 1)
+            # subsample frames across blocks for the weight fit: the host
+            # reads ONLY the stride-grid rows of each block (memmap row
+            # gather), so this pass uploads ~1/stride of the movie
+            Cc = state.C - Cmean[:, None]
+            Cc_s = Cc[:, ::stride]
 
-        def bf_slicer(t0, blk):
-            off = (-t0) % stride
-            return np.ascontiguousarray(blk[off::stride])
+            def bf_slicer(t0, blk):
+                off = (-t0) % stride
+                return np.ascontiguousarray(blk[off::stride])
 
-        Bf_rows = []
-        for t0, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer,
-                                                sharding=mov_s):
-            j0 = -(-t0 // stride)            # first global grid col here
-            Bf_rows.append(_block_Bf(Yb_s, A_dk, Cc_s, Ymean, j0))
-        Bf_fit = jnp.concatenate(Bf_rows, axis=0)
-        weights = fit_ring_weights(Bf_fit, H, W, radius,
-                                   ridge_eps=params.background.ridge_eps)
-        state = state.replace(W=weights)
-        del Bf_fit, Bf_rows
-        log(f"iter {it}: ring background fit")
+            Bf_rows = []
+            for t0, Yb_s in _prefetch_device_blocks(store, slicer=bf_slicer,
+                                                    sharding=mov_s):
+                j0 = -(-t0 // stride)            # first global grid col here
+                Bf_rows.append(_block_Bf(Yb_s, A_dk, Cc_s, Ymean, j0))
+            Bf_fit = jnp.concatenate(Bf_rows, axis=0)
+            weights = fit_ring_weights(Bf_fit, H, W, radius,
+                                       ridge_eps=params.background.ridge_eps)
+            state = state.replace(W=weights)
+            del Bf_fit, Bf_rows
+            log(f"iter {it}: ring background fit")
 
-        # ---- spatial: streamed Gram accumulation ------------------------
-        C = state.C
-        U = jnp.zeros((H * W, K_cap), jnp.float32)
-        for t0, Yb in _prefetch_device_blocks(store,
-                                              sub_blocks=sub_blocks,
-                                              sharding=mov_s):
-            C_blk = C[:, t0:t0 + Yb.shape[0]]
-            U = _block_spatial_U(U, Yb, A_dk, C_blk, state.b0, weights,
-                                 radius, H, W, spmd=spmd)
-        # HALS sweeps on the accumulated Grams — the same blocked
-        # Gauss-Seidel program every in-memory spatial update runs
-        # (ops/hals.py). A bespoke per-neuron fori_loop here compiled a
-        # second, much larger XLA program that (run at the tail of the
-        # full CPU test suite) reproducibly segfaulted the XLA:CPU
-        # compiler; reusing the shared kernel removed both the crash and
-        # the duplicate compile.
-        from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
-        V = jnp.einsum("kt,lt->kl", C, C)
-        Ad = A_dk
-        # pixel-chunked sweeps: rows (pixels) are independent given V —
-        # chunking is EXACT and bounds the solver's live (d, K) buffers
-        # (~3 x 2.4 GB at config 5 next to the accumulated U and the
-        # full-T traces; same HBM discipline as the temporal solve)
-        up = False if spmd else None
-        dtot = H * W
-        Dc = 1 << 16
-        if dtot > 2 * Dc:
-            a_parts = []
-            for d0 in range(0, dtot, Dc):
-                sl = slice(d0, min(d0 + Dc, dtot))
-                a_parts.append(hals_spatial_sweeps(
-                    U[sl], V, Ad[sl], n_iter=params.spatial.n_iter,
-                    use_pallas=up))
-                float(jnp.sum(a_parts[-1][:1, :4]))
-            del U
-            Ad = jnp.concatenate(a_parts, axis=0)
-            del a_parts
+            # ---- spatial: streamed Gram accumulation ------------------------
+            C = state.C
+            U = jnp.zeros((H * W, K_cap), jnp.float32)
+            for t0, Yb in _prefetch_device_blocks(store,
+                                                  sub_blocks=sub_blocks,
+                                                  sharding=mov_s):
+                C_blk = C[:, t0:t0 + Yb.shape[0]]
+                U = _block_spatial_U(U, Yb, A_dk, C_blk, state.b0, weights,
+                                     radius, H, W, spmd=spmd)
+            # HALS sweeps on the accumulated Grams — the same blocked
+            # Gauss-Seidel program every in-memory spatial update runs
+            # (ops/hals.py). A bespoke per-neuron fori_loop here compiled a
+            # second, much larger XLA program that (run at the tail of the
+            # full CPU test suite) reproducibly segfaulted the XLA:CPU
+            # compiler; reusing the shared kernel removed both the crash and
+            # the duplicate compile.
+            from cnmf_e_tpu.ops.hals import hals_spatial_sweeps
+            V = jnp.einsum("kt,lt->kl", C, C)
+            Ad = A_dk
+            # pixel-chunked sweeps: rows (pixels) are independent given V —
+            # chunking is EXACT and bounds the solver's live (d, K) buffers
+            # (~3 x 2.4 GB at config 5 next to the accumulated U and the
+            # full-T traces; same HBM discipline as the temporal solve)
+            up = False if spmd else None
+            dtot = H * W
+            Dc = 1 << 16
+            if dtot > 2 * Dc:
+                a_parts = []
+                for d0 in range(0, dtot, Dc):
+                    sl = slice(d0, min(d0 + Dc, dtot))
+                    a_parts.append(hals_spatial_sweeps(
+                        U[sl], V, Ad[sl], n_iter=params.spatial.n_iter,
+                        use_pallas=up))
+                    float(jnp.sum(a_parts[-1][:1, :4]))
+                del U
+                Ad = jnp.concatenate(a_parts, axis=0)
+                del a_parts
+            else:
+                Ad = hals_spatial_sweeps(U, V, Ad,
+                                         n_iter=params.spatial.n_iter,
+                                         use_pallas=up)
+            state = state.replace(
+                A=Ad.T.reshape(K_cap, H, W) * state.active[:, None, None])
+            del Ad, A_dk      # release the (d, K) copy before the QC/merge
+            #                   stage peaks (2.4 GB at config 5)
+            log(f"iter {it}: spatial")
+            if snapshot_path is not None and T > 25_000:
+                # post-spatial snapshot: every multi-hour stage has its
+                # own resume point (a crash in the QC/merge stage below
+                # would otherwise repay the ~2 full-movie passes)
+                np.savez(snapshot_path, stage=f"iter{it}_spatial",
+                         A=np.asarray(state.A, np.float16),
+                         active=np.asarray(state.active),
+                         g=np.asarray(state.g, np.float32),
+                         neuron_sn=np.asarray(state.neuron_sn,
+                                              np.float32),
+                         C=np.asarray(state.C, np.float16),
+                         C_raw=np.asarray(state.C_raw, np.float16),
+                         ring_w=np.asarray(weights.w, np.float16),
+                         ring_w0=np.asarray(weights.w0, np.float32),
+                         b0=np.asarray(state.b0, np.float32),
+                         Ymean=np.asarray(Ymean, np.float32))
+                log(f"iter {it}: spatial snapshot -> {snapshot_path}")
+
+        # neuron-batched QC at scale: tag_neurons' Welch PSD frames the
+        # full (K, T) C_raw into ~5 GB of gathered windows — rows are
+        # independent, so batch the tagging and apply the keep once
+        if T > 25_000:
+            from cnmf_e_tpu.models.qc import _apply_keep
+            KbQ = -(-K_cap // max(-(-K_cap // 640), 1))
+            tag_parts = []
+            for k0 in range(0, K_cap, KbQ):
+                sl = slice(k0, k0 + KbQ)
+                sub = state.replace(
+                    A=state.A[sl], C=state.C[sl],
+                    C_raw=state.C_raw[sl], S=state.S[sl],
+                    active=state.active[sl], g=state.g[sl],
+                    neuron_sn=state.neuron_sn[sl], tags=state.tags[sl])
+                tag_parts.append(tag_neurons(sub, params).tags)
+                float(jnp.sum(tag_parts[-1][:1]))
+            tags = jnp.concatenate(tag_parts)
+            keep = state.active & ~((tags != 0) & state.active)
+            state = _apply_keep(state.replace(tags=tags), keep)
+            del tag_parts
         else:
-            Ad = hals_spatial_sweeps(U, V, Ad,
-                                     n_iter=params.spatial.n_iter,
-                                     use_pallas=up)
-        state = state.replace(
-            A=Ad.T.reshape(K_cap, H, W) * state.active[:, None, None])
-        log(f"iter {it}: spatial")
-
-        state = remove_false_positives(state, params)
+            state = remove_false_positives(state, params)
         # deconv=False: the post-merge re-deconvolution is a FULL
         # (K_max, T) OASIS pass — ~6 GB of live trace buffers at config
         # 5 (the r5 solve-stage OOM class). Non-final iterations are
@@ -632,5 +700,20 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                      C_raw=np.asarray(state.C_raw, np.float16))
             log(f"iter {it}: snapshot -> {snapshot_path}")
 
-    state = tag_neurons(state, params)
+    # final tags, neuron-batched at scale (same Welch-PSD framing peak
+    # as the per-iteration QC above)
+    if T > 25_000:
+        KbQ = -(-K_cap // max(-(-K_cap // 640), 1))
+        tag_parts = []
+        for k0 in range(0, K_cap, KbQ):
+            sl = slice(k0, k0 + KbQ)
+            sub = state.replace(
+                A=state.A[sl], C=state.C[sl], C_raw=state.C_raw[sl],
+                S=state.S[sl], active=state.active[sl], g=state.g[sl],
+                neuron_sn=state.neuron_sn[sl], tags=state.tags[sl])
+            tag_parts.append(tag_neurons(sub, params).tags)
+            float(jnp.sum(tag_parts[-1][:1]))
+        state = state.replace(tags=jnp.concatenate(tag_parts))
+    else:
+        state = tag_neurons(state, params)
     return compact(state)
