@@ -225,8 +225,14 @@ class CNMFEParams:
     qc: QCParams = field(default_factory=QCParams)
     patch: PatchParams = field(default_factory=PatchParams)
 
-    # frames used for per-pixel noise estimation (Sources2D.m:332-334)
-    noise_frame_cap: int = 3000
+    # frames used for per-pixel noise estimation. The reference caps at
+    # 3000 (Sources2D.m:332-334) purely as a cost bound; a 1024-frame
+    # contiguous prefix keeps the Welch spectrum semantics (contiguous,
+    # no temporal aliasing) while the per-pixel sigma's standard error
+    # (~sn/sqrt(n_indep_segments)) is already far below the 3*sn decision
+    # thresholds it feeds. Set to a large value for the reference's
+    # exact window.
+    noise_frame_cap: int = 1024
     # numeric dtype for the movie on device
     dtype: str = "float32"
     seed: int = 0
