@@ -585,18 +585,30 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             weights = fit_ring_weights(Bf_fit, H, W, radius,
                                        ridge_eps=params.background.ridge_eps)
             state = state.replace(W=weights)
-            del Bf_fit, Bf_rows
+            del Bf_fit, Bf_rows, Cc, Cc_s       # Cc is ~1 GB at config 5
             log(f"iter {it}: ring background fit")
 
             # ---- spatial: streamed Gram accumulation ------------------------
             C = state.C
             U = jnp.zeros((H * W, K_cap), jnp.float32)
+            # the accumulator chain re-allocates the FULL (d, K) U every
+            # step (no buffer donation on axon): with async dispatch,
+            # every enqueued step holds its own 2.4 GB output at config-5
+            # scale, and an unbounded queue OOMed the chip (the 5th
+            # distinct config-5 HBM peak). A 4-element fetch of the
+            # freshly produced U drains the chain to at most two live
+            # generations; uploads still overlap (the prefetch thread is
+            # independent of the U data dependency).
+            drain_U = H * W * K_cap * 4 > (1 << 30)
             for t0, Yb in _prefetch_device_blocks(store,
                                                   sub_blocks=sub_blocks,
                                                   sharding=mov_s):
-                C_blk = C[:, t0:t0 + Yb.shape[0]]
+                C_blk = jax.lax.dynamic_slice_in_dim(
+                    C, t0, Yb.shape[0], axis=1)
                 U = _block_spatial_U(U, Yb, A_dk, C_blk, state.b0, weights,
                                      radius, H, W, spmd=spmd)
+                if drain_U:
+                    float(jnp.sum(U[:1, :4]))
             # HALS sweeps on the accumulated Grams — the same blocked
             # Gauss-Seidel program every in-memory spatial update runs
             # (ops/hals.py). A bespoke per-neuron fori_loop here compiled a
