@@ -119,6 +119,13 @@ class BackgroundParams:
     # 0 = amortized schedule (post-init + final only) — the measured
     # default; 1 = the reference's per-iteration refresh
     refresh_every: int = 0
+    # streaming only: fit the ring model from a strided frame subset
+    # BEFORE iteration 0's full temporal pass (the reference's stage
+    # order — background precedes temporal,
+    # demo_large_data_1p.m:199-209), so a single outer iteration already
+    # yields background-subtracted traces. False restores the raw
+    # bootstrap pass (traces then need n_outer >= 2 to converge).
+    ring_bootstrap: bool = True
 
 
 @dataclass(frozen=True)

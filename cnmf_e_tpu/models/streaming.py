@@ -181,6 +181,25 @@ def _block_Bf(Yb_s, A_dk, Cc_s, Ymean, j0):
     return Yb_s - Ymean[None] - recon
 
 
+@functools.partial(jax.jit, static_argnames=("n", "stride"))
+def _interp_grid_traces(Cg, t0, n, stride):
+    """Linearly interpolate stride-grid traces (columns at frames
+    0, stride, 2*stride, ...) onto the ``n`` frames starting at ``t0``.
+
+    The bootstrap iteration's C_prev for the streamed ring subtraction:
+    the reference freezes A_prev/C_prev at the background stage
+    (``update_background_parallel.m:311-317``) and iteration 0 has no
+    full-T C yet — the grid solve interpolated (calcium decays over
+    ~tau >> 1 frame) is the best available C_prev."""
+    j = t0 + jnp.arange(n)
+    m = j // stride
+    frac = (j % stride).astype(jnp.float32) / float(max(stride, 1))
+    ng = Cg.shape[1]
+    m0 = jnp.clip(m, 0, ng - 1)
+    m1 = jnp.clip(m + 1, 0, ng - 1)
+    return Cg[:, m0] * (1.0 - frac)[None] + Cg[:, m1] * frac[None]
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "H", "W", "spmd"))
 def _block_spatial_U(U, Yb, A_dk, C_blk, b0, weights, radius, H, W,
                      spmd=False):
@@ -440,6 +459,71 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
             del acc_h
             log(f"iter {it}: resumed at ring fit "
                 f"(strided Ymean over {n_h} frames)")
+        C_boot = None
+        stride_boot = 1
+        if (not skip_temporal and weights is None
+                and params.background.ring_bootstrap):
+            # ---- strided ring BOOTSTRAP (round 5) -----------------------
+            # Iteration 0 used to solve its full-T temporal pass against
+            # the raw movie (mean-subtracted only): with a fluctuating 1p
+            # background the traces carry background leakage (measured
+            # trace-corr 0.30 vs planted truth at config 5) that only a
+            # SECOND outer iteration could wash out. The ring model only
+            # needs ~frame_cap_factor*R frames to fit, so fit it FIRST
+            # from one ~1/stride strided upload — grid-frame traces are
+            # solved from the same cached frames — and iteration 0's full
+            # temporal pass already subtracts the ring background (the
+            # reference's own stage order: background before temporal,
+            # demo_large_data_1p.m:199-209).
+            R0 = ring_offsets(radius).shape[0]
+            nmax0 = params.background.frame_cap_factor * R0
+            stride_boot = max(int(np.ceil(T / nmax0)), 1)
+
+            def grid_slicer(t0, blk):
+                off = (-t0) % stride_boot
+                return np.ascontiguousarray(blk[off::stride_boot])
+
+            g_parts = [Yb_s for _, Yb_s in _prefetch_device_blocks(
+                store, slicer=grid_slicer, sharding=mov_s)]
+            Yg = jnp.concatenate(g_parts, axis=0)    # (n_grid, H, W) f16
+            del g_parts
+            n_grid = int(Yg.shape[0])
+            gb = max(fpb // max(stride_boot, 1), 1)
+            Ug_parts = []
+            acc_g = jnp.zeros((H, W), jnp.float32)
+            for g0 in range(0, n_grid, gb):
+                Ub, s = _block_temporal_U_raw(Yg[g0:g0 + gb], A_dk)
+                Ug_parts.append(Ub)
+                acc_g = acc_g + s
+            Ymean = acc_g / n_grid
+            Vg = jnp.einsum("dk,dl->kl", A_dk, A_dk)
+            aag = jnp.diag(Vg)
+            Ug = (jnp.concatenate(Ug_parts, axis=1)
+                  - jnp.einsum("dk,d->k", A_dk,
+                               Ymean.reshape(-1))[:, None])
+            del Ug_parts
+            from cnmf_e_tpu.ops.hals import hals_temporal_sweeps as _hts
+            C0g = jnp.maximum(Ug / jnp.maximum(aag, 1e-12)[:, None], 0.0)
+            Cg = _hts(Ug, Vg, C0g, n_iter=params.temporal.n_iter,
+                      active=state.active,
+                      use_pallas=False if spmd else None)
+            del Ug, C0g
+            Cg_mean = jnp.mean(Cg, axis=1)
+            state = state.replace(
+                b0=(Ymean - jnp.einsum("dk,k->d", A_dk,
+                                       Cg_mean).reshape(H, W)))
+            Ccg = Cg - Cg_mean[:, None]
+            Bf_rows = [_block_Bf(Yg[g0:g0 + gb], A_dk, Ccg, Ymean, g0)
+                       for g0 in range(0, n_grid, gb)]
+            del Yg
+            Bf_fit = jnp.concatenate(Bf_rows, axis=0)
+            weights = fit_ring_weights(
+                Bf_fit, H, W, radius,
+                ridge_eps=params.background.ridge_eps)
+            state = state.replace(W=weights)
+            C_boot = Cg
+            del Bf_fit, Bf_rows, Ccg, Cg
+            log(f"iter {it}: ring bootstrap fit ({n_grid} strided frames)")
         if not skip_temporal:
             # ---- temporal pass: Gram-accumulated HALS over blocks -------
             # U = A^T Ysig accumulates per block (K x T fits on device
@@ -470,7 +554,11 @@ def fit_streaming(store: MovieStore, params: Optional[CNMFEParams] = None,
                 for t0, Yb in _prefetch_device_blocks(store,
                                                       sub_blocks=sub_blocks,
                                                       sharding=mov_s):
-                    C_blk = state.C[:, t0:t0 + Yb.shape[0]]
+                    if C_boot is not None:
+                        C_blk = _interp_grid_traces(
+                            C_boot, t0, Yb.shape[0], stride_boot)
+                    else:
+                        C_blk = state.C[:, t0:t0 + Yb.shape[0]]
                     U_parts.append(_block_temporal_U_ring(
                         Yb, A_dk, C_blk, state.b0, weights, radius, H, W,
                         spmd=spmd))

@@ -335,3 +335,44 @@ def test_streaming_mesh_shard_count_invariant(tmp_path):
     C_m = np.asarray(state_mesh.C)[:n_mesh]
     atol = 5e-3 * max(np.abs(C_s).max(), 1.0)
     np.testing.assert_allclose(C_m, C_s, atol=atol)
+
+
+def test_ring_bootstrap_single_iteration_traces(tmp_path):
+    """Iteration 0's temporal pass must already subtract the ring
+    background: with the strided bootstrap fit (BackgroundParams.
+    ring_bootstrap), a SINGLE outer iteration yields traces of the same
+    quality that previously needed two; without it the bootstrap pass
+    only subtracts the mean image and background leakage drags the trace
+    correlation down (the config-5 finding: corr 0.30 at n_outer=1)."""
+    import dataclasses
+
+    gt = simulate_movie(seed=91, H=48, W=48, T=800, K=7, gSig=2.5,
+                        sn=0.08, bg_strength=0.9, min_dist=12.0,
+                        spike_rate=0.04)
+    src = str(tmp_path / "m.npy")
+    np.save(src, gt.Y)
+    store = distribute_movie(src, str(tmp_path / "store"),
+                             frames_per_block=200)
+    params = CNMFEParams(
+        init=InitParams(gSig=2.5, gSiz=8, min_corr=0.8, min_pnr=8.0,
+                        max_neurons=32, seeds_per_round=16, max_rounds=5),
+        background=BackgroundParams(model="ring", ring_radius=9),
+        merge=MergeParams(dmin=4.0),
+    )
+    st_boot = fit_streaming(store, params, n_outer=1,
+                            init_budget_frames=400)
+    p_raw = params.replace(background=dataclasses.replace(
+        params.background, ring_bootstrap=False))
+    st_raw = fit_streaming(store, p_raw, n_outer=1,
+                           init_budget_frames=400)
+
+    def med_corr(st):
+        n = int(st.n_active())
+        A = np.asarray(st.masked_A())[:n]
+        f1 = detection_f1(A, gt.A)
+        return float(np.median(trace_corr(
+            np.asarray(st.C)[:n], gt.C, f1["matches"])))
+
+    c_boot, c_raw = med_corr(st_boot), med_corr(st_raw)
+    assert c_boot > 0.85, (c_boot, c_raw)
+    assert c_boot >= c_raw - 0.02, (c_boot, c_raw)
